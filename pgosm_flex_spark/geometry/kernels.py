@@ -1,0 +1,243 @@
+"""Vectorized numpy geometry kernels — the engine's PostGIS stand-ins.
+
+Each kernel reproduces the semantics of a PostGIS function the reference
+relies on (SURVEY.md §2.7) without Shapely/GEOS: everything is numpy over
+coordinate arrays, called only from Arrow-batched pandas UDFs (never per-row
+Python).
+
+- :func:`points_in_polygon`  → ST_Within(point, poly)
+  (/root/reference/flex-config/sql/place_polygon_nested.sql:122).
+  Even-odd ray cast over all rings (holes included). Boundary points are
+  *excluded* (ST_Within semantics: interior only); exactly-on-edge points are
+  undefined at float precision — fixtures avoid them, and ties are documented
+  in SURVEY.md §7.3.
+- :func:`covering_cells`     → ST_Subdivide + GiST
+  (/root/reference/flex-config/sql/place.sql:60-66): polygon → cell ids at a
+  resolution, each classified interior (fully inside: containment decided
+  with no exact test) or boundary (needs refinement).
+- :func:`centroid`           → osm2pgsql ``:centroid()``
+  (/root/reference/flex-config/style/building_combined_point.lua:123).
+- :func:`haversine_m` / :func:`line_length_m`
+  → ST_Length(geog) (/root/reference/db/deploy/routing_functions.sql:309).
+- :func:`segment_box_hits`   → the `&&` bbox prefilter
+  (/root/reference/db/deploy/routing_functions.sql:129).
+- :func:`segment_pair_intersections` → ST_Intersection blade points
+  (/root/reference/db/deploy/routing_functions.sql:149).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pgosm_flex_spark.geometry import wkb as wkb_mod
+from pgosm_flex_spark.index import cells as cell_mod
+
+EARTH_RADIUS_M = 6_371_008.8
+
+
+# ---------------------------------------------------------------------------
+# point in polygon
+# ---------------------------------------------------------------------------
+
+def points_in_rings(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
+    """Even-odd rule over all rings. px/py shape (n,) → bool (n,)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    inside = np.zeros(px.shape[0], dtype=bool)
+    for ring in rings:
+        x0, y0 = ring[:-1, 0], ring[:-1, 1]
+        x1, y1 = ring[1:, 0], ring[1:, 1]
+        # edges whose y-span strictly straddles the point's horizontal ray
+        straddle = (y0 > py[:, None]) != (y1 > py[:, None])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x0 + (py[:, None] - y0) * (x1 - x0) / (y1 - y0)
+        cross = straddle & (px[:, None] < xint)
+        inside ^= (cross.sum(axis=1) & 1).astype(bool)
+    return inside
+
+
+def points_in_geom(px: np.ndarray, py: np.ndarray, geom: wkb_mod.Geom) -> np.ndarray:
+    if geom.kind == wkb_mod.POLYGON:
+        return points_in_rings(px, py, geom.rings)
+    if geom.kind == wkb_mod.MULTIPOLYGON:
+        # even-odd across all rings of all parts gives union semantics for
+        # disjoint parts (the only multipolygons the reference produces)
+        return points_in_rings(px, py, geom.rings)
+    raise ValueError("points_in_geom expects a (multi)polygon")
+
+
+# ---------------------------------------------------------------------------
+# area / centroid
+# ---------------------------------------------------------------------------
+
+def ring_signed_area(ring: np.ndarray) -> float:
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+
+def centroid(geom: wkb_mod.Geom) -> tuple[float, float]:
+    """Area-weighted centroid of a (multi)polygon; vertex mean for lines,
+    identity for points. Holes must be wound opposite the outer ring (the
+    fixture/encoder convention) so their signed area subtracts."""
+    if geom.kind == wkb_mod.POINT:
+        return float(geom.rings[0][0, 0]), float(geom.rings[0][0, 1])
+    if geom.kind in (wkb_mod.LINESTRING, wkb_mod.MULTILINESTRING):
+        # length-weighted midpoint along segments
+        cx = cy = wsum = 0.0
+        for part in geom.rings:
+            seg = part[1:] - part[:-1]
+            w = np.hypot(seg[:, 0], seg[:, 1])
+            mid = (part[1:] + part[:-1]) / 2.0
+            cx += float((mid[:, 0] * w).sum())
+            cy += float((mid[:, 1] * w).sum())
+            wsum += float(w.sum())
+        if wsum == 0.0:
+            return float(geom.rings[0][0, 0]), float(geom.rings[0][0, 1])
+        return cx / wsum, cy / wsum
+    a_sum = cx_sum = cy_sum = 0.0
+    for ring in geom.rings:
+        x, y = ring[:-1, 0], ring[:-1, 1]
+        x1, y1 = ring[1:, 0], ring[1:, 1]
+        cross = x * y1 - x1 * y
+        a = 0.5 * float(cross.sum())
+        a_sum += a
+        cx_sum += float(((x + x1) * cross).sum()) / 6.0
+        cy_sum += float(((y + y1) * cross).sum()) / 6.0
+    if a_sum == 0.0:
+        allc = np.concatenate(geom.rings, axis=0)
+        return float(allc[:, 0].mean()), float(allc[:, 1].mean())
+    return cx_sum / a_sum, cy_sum / a_sum
+
+
+# ---------------------------------------------------------------------------
+# geodesic length
+# ---------------------------------------------------------------------------
+
+def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
+    lon1, lat1, lon2, lat2 = (np.radians(np.asarray(a, dtype=np.float64)) for a in (lon1, lat1, lon2, lat2))
+    dlat = lat2 - lat1
+    dlon = lon2 - lon1
+    h = np.sin(dlat / 2.0) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2.0) ** 2
+    return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))
+
+
+def line_length_m(geom: wkb_mod.Geom) -> float:
+    total = 0.0
+    for part in geom.rings:
+        total += float(
+            haversine_m(part[:-1, 0], part[:-1, 1], part[1:, 0], part[1:, 1]).sum()
+        )
+    return total
+
+
+# ---------------------------------------------------------------------------
+# segment vs box / segment vs segment
+# ---------------------------------------------------------------------------
+
+def segment_box_hits(
+    p0: np.ndarray, p1: np.ndarray,
+    xmin: np.ndarray, ymin: np.ndarray, xmax: np.ndarray, ymax: np.ndarray,
+) -> np.ndarray:
+    """bool (m, k): does segment i intersect/touch box j.
+
+    p0/p1: (m, 2); boxes: (k,). Bbox-overlap test + separating-line test
+    (all four box corners strictly on one side of the segment's infinite
+    line ⇒ miss).
+    """
+    m = p0.shape[0]
+    k = xmin.shape[0]
+    sxmin = np.minimum(p0[:, 0], p1[:, 0])[:, None]
+    sxmax = np.maximum(p0[:, 0], p1[:, 0])[:, None]
+    symin = np.minimum(p0[:, 1], p1[:, 1])[:, None]
+    symax = np.maximum(p0[:, 1], p1[:, 1])[:, None]
+    bbox_ok = (sxmin <= xmax[None, :]) & (sxmax >= xmin[None, :]) & (symin <= ymax[None, :]) & (symax >= ymin[None, :])
+    if not bbox_ok.any():
+        return np.zeros((m, k), dtype=bool)
+    d = p1 - p0  # (m,2)
+    # signed side of each box corner w.r.t. each segment line: (m,k,4)
+    cx = np.stack([xmin, xmax, xmin, xmax], axis=1)  # (k,4)
+    cy = np.stack([ymin, ymin, ymax, ymax], axis=1)
+    side = d[:, 0:1, None] * (cy[None, :, :] - p0[:, 1:2, None]) - d[:, 1:2, None] * (
+        cx[None, :, :] - p0[:, 0:1, None]
+    )
+    all_pos = (side > 0).all(axis=2)
+    all_neg = (side < 0).all(axis=2)
+    return bbox_ok & ~(all_pos | all_neg)
+
+
+def segment_pair_intersections(
+    a0: np.ndarray, a1: np.ndarray, b0: np.ndarray, b1: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Proper intersection points between segment sets A (m,2) and B (n,2).
+
+    Returns (points (p,2), pair index (p,2) of [i, j]). Collinear overlaps are
+    skipped — mirroring the reference's ST_Relate '1********' guard that skips
+    collinear-overlap splits (/root/reference/db/deploy/routing_functions.sql:196).
+    Endpoint touches count as intersections (a road T-junction is a split).
+    """
+    da = a1 - a0  # (m,2)
+    db = b1 - b0  # (n,2)
+    denom = da[:, None, 0] * db[None, :, 1] - da[:, None, 1] * db[None, :, 0]  # (m,n)
+    diff = b0[None, :, :] - a0[:, None, :]  # (m,n,2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (diff[:, :, 0] * db[None, :, 1] - diff[:, :, 1] * db[None, :, 0]) / denom
+        u = (diff[:, :, 0] * da[:, None, 1] - diff[:, :, 1] * da[:, None, 0]) / denom
+    eps = 1e-12
+    hit = (np.abs(denom) > eps) & (t >= -eps) & (t <= 1 + eps) & (u >= -eps) & (u <= 1 + eps)
+    ii, jj = np.nonzero(hit)
+    pts = a0[ii] + t[ii, jj][:, None] * da[ii]
+    return pts, np.stack([ii, jj], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# polygon / line → covering cells
+# ---------------------------------------------------------------------------
+
+KIND_INTERIOR = 0  # cell fully inside: containment needs no exact test
+KIND_BOUNDARY = 1  # cell crossed by the boundary: exact refinement required
+
+_MAX_COVER_CELLS = 65536
+
+
+def covering_cells(geom: wkb_mod.Geom, res: int) -> tuple[np.ndarray, np.ndarray]:
+    """(cell_ids int64 (k,), kinds int8 (k,)) covering the geometry at ``res``.
+
+    For (multi)polygons: a cell with no boundary edge through it is uniformly
+    in or out (continuity), so one center PIP test classifies it; cells hit
+    by an edge are boundary. For (multi)linestrings/points every touched cell
+    is boundary. Raises if the bbox spans more than 65536 cells at ``res`` —
+    callers drop to a coarser resolution for continent-scale geometries
+    (adaptive covering, SURVEY.md §4 skew row).
+    """
+    xmin, ymin, xmax, ymax = geom.bbox
+    x0, y0 = cell_mod.xy_of_points(np.array([xmin]), np.array([ymax]), res)  # note: y grows southward
+    x1, y1 = cell_mod.xy_of_points(np.array([xmax]), np.array([ymin]), res)
+    gx = np.arange(x0[0], x1[0] + 1, dtype=np.int64)
+    gy = np.arange(y0[0], y1[0] + 1, dtype=np.int64)
+    if gx.size * gy.size > _MAX_COVER_CELLS:
+        raise ValueError(
+            f"covering at res={res} would produce {gx.size * gy.size} cells; use a coarser res"
+        )
+    xs, ys = np.meshgrid(gx, gy, indexing="ij")
+    cand = cell_mod.pack(xs.ravel(), ys.ravel(), res)
+    cxmin, cymin, cxmax, cymax = cell_mod.cell_bounds(cand)
+
+    segs0 = np.concatenate([r[:-1] for r in geom.rings], axis=0)
+    segs1 = np.concatenate([r[1:] for r in geom.rings], axis=0)
+    hits = segment_box_hits(segs0, segs1, cxmin, cymin, cxmax, cymax).any(axis=0)
+
+    if geom.kind in (wkb_mod.POINT, wkb_mod.LINESTRING, wkb_mod.MULTILINESTRING):
+        if geom.kind == wkb_mod.POINT:
+            c = cell_mod.cells_of_points(geom.rings[0][:, 0], geom.rings[0][:, 1], res)
+            return c, np.full(c.shape, KIND_BOUNDARY, dtype=np.int8)
+        keep = hits
+        return cand[keep], np.full(int(keep.sum()), KIND_BOUNDARY, dtype=np.int8)
+
+    # polygon: classify non-hit cells by center containment
+    ccx = (cxmin + cxmax) / 2.0
+    ccy = (cymin + cymax) / 2.0
+    inside = points_in_geom(ccx, ccy, geom)
+    interior = inside & ~hits
+    keep = hits | interior
+    kinds = np.where(hits[keep], KIND_BOUNDARY, KIND_INTERIOR).astype(np.int8)
+    return cand[keep], kinds

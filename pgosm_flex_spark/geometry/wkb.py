@@ -1,0 +1,161 @@
+"""Minimal WKB (well-known binary) codec, numpy-backed, written from scratch.
+
+The reference stores PostGIS typed geometry columns
+(/root/reference/flex-config/style/road.lua:24,50,74). Spark has no geometry
+type, so layer tables carry standard little-endian WKB in a ``binary`` column
+(SRID by convention: EPSG:4326 lon/lat; web-mercator math lives in the cell
+index). This module is deliberately small: Point, LineString, Polygon (with
+holes), MultiLineString, MultiPolygon — the exact surface the reference's
+tables use.
+
+Coordinates decode to float64 numpy arrays; no per-vertex Python objects.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+POINT = 1
+LINESTRING = 2
+POLYGON = 3
+MULTIPOINT = 4
+MULTILINESTRING = 5
+MULTIPOLYGON = 6
+
+_HDR = struct.Struct("<BI")
+_U32 = struct.Struct("<I")
+
+
+@dataclass
+class Geom:
+    """Decoded geometry.
+
+    kind: one of the WKB type codes above.
+    rings: list of (n, 2) float64 arrays.
+      - POINT: single (1, 2) array
+      - LINESTRING: single array (the line)
+      - POLYGON: outer ring first, then holes (rings closed: first==last)
+      - MULTILINESTRING: one array per part
+      - MULTIPOLYGON: flattened rings; ``part_ring_counts[i]`` rings belong
+        to polygon part i (outer first within each part)
+    """
+
+    kind: int
+    rings: list[np.ndarray]
+    part_ring_counts: list[int] | None = None
+
+    @property
+    def bbox(self) -> tuple[float, float, float, float]:
+        allc = np.concatenate(self.rings, axis=0)
+        return (
+            float(allc[:, 0].min()),
+            float(allc[:, 1].min()),
+            float(allc[:, 0].max()),
+            float(allc[:, 1].max()),
+        )
+
+
+def _coords_bytes(arr: np.ndarray) -> bytes:
+    a = np.ascontiguousarray(np.asarray(arr, dtype="<f8"))
+    return _U32.pack(a.shape[0]) + a.tobytes()
+
+
+def encode_point(x: float, y: float) -> bytes:
+    return _HDR.pack(1, POINT) + struct.pack("<dd", x, y)
+
+
+def encode_linestring(coords: np.ndarray) -> bytes:
+    return _HDR.pack(1, LINESTRING) + _coords_bytes(coords)
+
+
+def encode_polygon(rings: list[np.ndarray]) -> bytes:
+    """rings: outer first; each ring closed (first vertex == last)."""
+    out = [_HDR.pack(1, POLYGON), _U32.pack(len(rings))]
+    out.extend(_coords_bytes(r) for r in rings)
+    return b"".join(out)
+
+
+def encode_multilinestring(parts: list[np.ndarray]) -> bytes:
+    out = [_HDR.pack(1, MULTILINESTRING), _U32.pack(len(parts))]
+    out.extend(encode_linestring(p) for p in parts)
+    return b"".join(out)
+
+
+def encode_multipolygon(polys: list[list[np.ndarray]]) -> bytes:
+    out = [_HDR.pack(1, MULTIPOLYGON), _U32.pack(len(polys))]
+    out.extend(encode_polygon(rings) for rings in polys)
+    return b"".join(out)
+
+
+def _read_coords(buf: memoryview, off: int) -> tuple[np.ndarray, int]:
+    (n,) = _U32.unpack_from(buf, off)
+    off += 4
+    arr = np.frombuffer(buf, dtype="<f8", count=2 * n, offset=off).reshape(n, 2)
+    return arr.astype(np.float64, copy=False), off + 16 * n
+
+
+def decode(wkb: bytes) -> Geom:
+    buf = memoryview(wkb)
+    byte_order, kind = _HDR.unpack_from(buf, 0)
+    if byte_order != 1:
+        raise ValueError("only little-endian WKB supported")
+    kind &= 0xFF  # tolerate EWKB flag bits being absent/ignored
+    off = 5
+    if kind == POINT:
+        x, y = struct.unpack_from("<dd", buf, off)
+        return Geom(POINT, [np.array([[x, y]], dtype=np.float64)])
+    if kind == LINESTRING:
+        arr, _ = _read_coords(buf, off)
+        return Geom(LINESTRING, [arr])
+    if kind == POLYGON:
+        (nrings,) = _U32.unpack_from(buf, off)
+        off += 4
+        rings = []
+        for _ in range(nrings):
+            r, off = _read_coords(buf, off)
+            rings.append(r)
+        return Geom(POLYGON, rings)
+    if kind == MULTILINESTRING:
+        (nparts,) = _U32.unpack_from(buf, off)
+        off += 4
+        parts = []
+        for _ in range(nparts):
+            _, sub_kind = _HDR.unpack_from(buf, off)
+            if (sub_kind & 0xFF) != LINESTRING:
+                raise ValueError("multilinestring part is not a linestring")
+            off += 5
+            arr, off = _read_coords(buf, off)
+            parts.append(arr)
+        return Geom(MULTILINESTRING, parts)
+    if kind == MULTIPOLYGON:
+        (nparts,) = _U32.unpack_from(buf, off)
+        off += 4
+        rings: list[np.ndarray] = []
+        counts: list[int] = []
+        for _ in range(nparts):
+            _, sub_kind = _HDR.unpack_from(buf, off)
+            if (sub_kind & 0xFF) != POLYGON:
+                raise ValueError("multipolygon part is not a polygon")
+            off += 5
+            (nrings,) = _U32.unpack_from(buf, off)
+            off += 4
+            counts.append(nrings)
+            for _ in range(nrings):
+                r, off = _read_coords(buf, off)
+                rings.append(r)
+        return Geom(MULTIPOLYGON, rings, counts)
+    raise ValueError(f"unsupported WKB geometry type {kind}")
+
+
+def geom_type_name(kind: int) -> str:
+    return {
+        POINT: "ST_Point",
+        LINESTRING: "ST_LineString",
+        POLYGON: "ST_Polygon",
+        MULTIPOINT: "ST_MultiPoint",
+        MULTILINESTRING: "ST_MultiLineString",
+        MULTIPOLYGON: "ST_MultiPolygon",
+    }[kind]

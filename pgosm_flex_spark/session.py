@@ -1,0 +1,61 @@
+"""SparkSession factory tuned for the spatial-join workload.
+
+The reference's physical planner is ``osm2pgsql-tuner`` (RAM-based flag
+selection, /root/reference/docker/osm2pgsql_recommendation.py:50-94). The
+Spark analog is session configuration: AQE, Arrow batch sizing for binary
+image payloads, and shuffle-partition counts sized to the core count.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "pgosm-flex-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` defaults to $SPARK_GRAFT_CPUS (sandbox stand-in for executor
+    count); on a real cluster the master/executor settings come from
+    spark-submit and this factory only applies SQL-level tuning.
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        # 2x cores: small enough to avoid tiny-task overhead at test scale,
+        # AQE coalesces further at runtime; at 100 TB this is overridden via
+        # spark.sql.adaptive.coalescePartitions + a much larger initial count.
+        shuffle_partitions = max(DEFAULT_SHUFFLE_PARTITIONS, 2 * cores)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # image `bytes` payloads: cap Arrow batch row count so a batch of
+        # ~100 KB images stays well under executor memory (SURVEY.md §7.3)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.maxResultSize", "4g")
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+    )
+    master = os.environ.get("SPARK_GRAFT_MASTER")
+    if master:
+        builder = builder.master(master)
+    elif SparkSession.getActiveSession() is None:
+        builder = builder.master(f"local[{cores}]")
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()
