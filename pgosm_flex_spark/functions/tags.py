@@ -1,0 +1,80 @@
+"""Tag-map plumbing: caption→tags parsing and tag cleaning.
+
+The graft's input rows carry OSM-style tags embedded in the image ``caption``
+(BASELINE.json input_hint; FIXTURES.md F1/F3): a space-separated list of
+``key=value`` pairs, where the geotag is the two reserved keys ``lon``/``lat``
+and literal spaces inside values are escaped as ``%20`` (so ``maxspeed=55 mph``
+travels as ``maxspeed=55%20mph``).
+
+This module turns the caption into the ``MapType(string,string)`` tags column
+that plays the role of ``object.tags`` in the reference's Lua callbacks
+(/root/reference/flex-config/style/tags.lua:19-35), entirely with native
+column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# dropped by clean_tags (/root/reference/flex-config/style/tags.lua:19-26)
+JUNK_TAG_KEYS = ("odbl", "created_by", "source", "source:ref")
+RESERVED_GEO_KEYS = ("lon", "lat")
+
+
+def caption_to_raw_map(caption: Column) -> Column:
+    """caption string → map<string,string> of all k=v pairs (incl. lon/lat)."""
+    pairs = F.filter(F.split(caption, " "), lambda p: F.instr(p, "=") > 0)
+    return F.transform_values(
+        F.map_from_entries(
+            F.transform(
+                pairs,
+                lambda p: F.struct(
+                    F.substring_index(p, "=", 1).alias("key"),
+                    # value = everything after the first '='
+                    F.substr(p, F.instr(p, "=") + F.lit(1), F.length(p)).alias("value"),
+                ),
+            )
+        ),
+        lambda _k, v: F.replace(v, F.lit("%20"), F.lit(" ")),
+    )
+
+
+def tags_col(caption: Column) -> Column:
+    """The OSM tag map: caption pairs minus the reserved geotag keys."""
+    return F.map_filter(
+        caption_to_raw_map(caption), lambda k, _v: ~k.isin(*RESERVED_GEO_KEYS)
+    )
+
+
+def lon_col(caption: Column) -> Column:
+    return F.element_at(caption_to_raw_map(caption), "lon").try_cast("double")
+
+
+def lat_col(caption: Column) -> Column:
+    return F.element_at(caption_to_raw_map(caption), "lat").try_cast("double")
+
+
+def clean_tags(tags: Column) -> Column:
+    """Drop junk keys (clean_tags, /root/reference/flex-config/style/tags.lua:19-26)."""
+    return F.map_filter(tags, lambda k, _v: ~k.isin(*JUNK_TAG_KEYS))
+
+
+def has_tags_after_clean(tags: Column) -> Column:
+    """clean_tags returns true when nothing is left → the row is skipped."""
+    return F.size(clean_tags(tags)) > 0
+
+
+def with_tags(df: DataFrame, caption_col: str = "caption") -> DataFrame:
+    """images DataFrame → + (lon, lat, tags) columns, all JVM-side."""
+    raw = caption_to_raw_map(F.col(caption_col))
+    return (
+        df.withColumn("__raw_tags", raw)
+        .withColumn("lon", F.element_at(F.col("__raw_tags"), "lon").try_cast("double"))
+        .withColumn("lat", F.element_at(F.col("__raw_tags"), "lat").try_cast("double"))
+        .withColumn(
+            "tags",
+            F.map_filter(F.col("__raw_tags"), lambda k, _v: ~k.isin(*RESERVED_GEO_KEYS)),
+        )
+        .drop("__raw_tags")
+    )
