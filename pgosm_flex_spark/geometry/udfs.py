@@ -1,0 +1,81 @@
+"""Arrow-batched pandas UDFs wrapping the numpy geometry kernels.
+
+The only places this engine leaves the JVM: exact PIP refinement, centroid
+collapse, geodesic length. Each UDF is vectorized over the Arrow batch and
+caches decoded geometries by their WKB bytes within the batch, so a polygon
+repeated across many candidate rows decodes once.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    StructField,
+    StructType,
+)
+
+from pgosm_flex_spark.geometry import kernels, wkb as wkb_mod
+
+
+@F.pandas_udf(BooleanType())
+def pip_udf(lon: pd.Series, lat: pd.Series, geom_wkb: pd.Series) -> pd.Series:
+    """Exact ST_Within(point, polygon)
+    (/root/reference/flex-config/sql/place_polygon_nested.sql:122): interior
+    only, boundary excluded."""
+    import numpy as np
+
+    out = np.zeros(len(lon), dtype=bool)
+    if len(lon) == 0:
+        return pd.Series(out)
+    lon_v = lon.to_numpy(dtype=float)
+    lat_v = lat.to_numpy(dtype=float)
+    cache: dict[bytes, wkb_mod.Geom] = {}
+    groups: dict[bytes, list[int]] = {}
+    raw = geom_wkb.tolist()
+    for idx, b in enumerate(raw):
+        if b is None:
+            continue
+        groups.setdefault(bytes(b), []).append(idx)
+    for b, idxs in groups.items():
+        geom = cache.get(b)
+        if geom is None:
+            geom = cache[b] = wkb_mod.decode(b)
+        ii = pd.Index(idxs).to_numpy()
+        out[ii] = kernels.points_in_geom(lon_v[ii], lat_v[ii], geom)
+    return pd.Series(out)
+
+
+_CENTROID_TYPE = StructType(
+    [StructField("lon", DoubleType()), StructField("lat", DoubleType())]
+)
+
+
+@F.pandas_udf(_CENTROID_TYPE)
+def centroid_udf(geom_wkb: pd.Series) -> pd.DataFrame:
+    """osm2pgsql :centroid() (/root/reference/flex-config/style/building_combined_point.lua:123)."""
+    lons, lats = [], []
+    cache: dict[bytes, tuple[float, float]] = {}
+    for b in geom_wkb.tolist():
+        if b is None:
+            lons.append(None)
+            lats.append(None)
+            continue
+        key = bytes(b)
+        c = cache.get(key)
+        if c is None:
+            c = cache[key] = kernels.centroid(wkb_mod.decode(key))
+        lons.append(c[0])
+        lats.append(c[1])
+    return pd.DataFrame({"lon": lons, "lat": lats})
+
+
+@F.pandas_udf(DoubleType())
+def length_m_udf(geom_wkb: pd.Series) -> pd.Series:
+    """ST_Length(geography) (/root/reference/db/deploy/routing_functions.sql:309)."""
+    out = []
+    for b in geom_wkb.tolist():
+        out.append(None if b is None else kernels.line_length_m(wkb_mod.decode(bytes(b))))
+    return pd.Series(out, dtype="float64")

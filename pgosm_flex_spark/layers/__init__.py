@@ -1,0 +1,6 @@
+from pgosm_flex_spark.layers.registry import (  # noqa: F401
+    LAYERSETS,
+    TABLES,
+    build_layer_tables,
+    layerset_layers,
+)

@@ -1,0 +1,850 @@
+"""Declarative layer registry — the Spark re-expression of the Lua flex styles.
+
+The reference streams every OSM object through chained per-layer Lua callbacks
+(`process_node/way/relation`, e.g. /root/reference/flex-config/style/road.lua:250-284)
+that filter on tags and insert projected rows into typed tables. Here each of
+the 20 layers is a pure function ``DataFrame → {table_name: DataFrame}`` built
+from native column expressions over one shared scan: Spark caches the single
+input pass and Catalyst pushes each layer's first-level key predicate into the
+source scan. No callbacks, no per-object hops.
+
+Input contract (the "osm objects" frame):
+
+    osm_id      long      — negative for relations (osm2pgsql convention)
+    geom_type   string    — 'N' | 'W' | 'R'
+    is_closed   boolean   — ways only (first vertex == last)
+    area_tag    derived from tags
+    tags        map<string,string>
+    lon, lat    double    — point geometry (nodes / graft image rows)
+    geom_wkb    binary    — way/relation geometry (nullable for nodes)
+    member_ids  array<long> — relations only, else NULL
+
+Layersets mirror /root/reference/flex-config/layerset/{minimal,basic,default,
+everything}.ini; which layers run is a subset selection, exactly the
+reference's INI gate (/root/reference/flex-config/layerset.lua:26-28).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pgosm_flex_spark.functions import scalars as sc
+from pgosm_flex_spark.functions import tags as tagf
+
+T = sc.t  # tags[key] accessor
+
+
+# ---------------------------------------------------------------------------
+# geometry routing predicates (SURVEY.md P19)
+# ---------------------------------------------------------------------------
+
+def _is_node(df: DataFrame) -> Column:
+    return F.col("geom_type") == "N"
+
+
+def _is_way(df: DataFrame) -> Column:
+    return F.col("geom_type") == "W"
+
+
+def _is_rel(df: DataFrame) -> Column:
+    return F.col("geom_type") == "R"
+
+
+def _closed(df: DataFrame) -> Column:
+    return F.coalesce(F.col("is_closed"), F.lit(False))
+
+
+def _rel_is_poly(df: DataFrame) -> Column:
+    """Relations kept only when type ∈ {multipolygon, boundary}
+    (/root/reference/flex-config/style/poi.lua:197-212 et al.)."""
+    return T(F.col("tags"), "type").isin("multipolygon", "boundary")
+
+
+_BASE_COLS = ["osm_id", "geom_type", "lon", "lat", "geom_wkb"]
+
+
+def _project(df: DataFrame, extra: dict[str, Column], with_members: bool = False) -> DataFrame:
+    cols = [F.col(c) for c in _BASE_COLS]
+    if with_members:
+        cols.append(F.col("member_ids"))
+    cols.extend(expr.alias(name) for name, expr in extra.items())
+    return df.select(*cols)
+
+
+@dataclass(frozen=True)
+class TableSpec:
+    layer: str
+    name: str  # e.g. "road_line"
+    kind: str  # point | line | polygon | combined_point
+    build: Callable[[DataFrame], DataFrame] = field(repr=False, compare=False, default=None)
+
+
+# ---------------------------------------------------------------------------
+# place (/root/reference/flex-config/style/place.lua:60-176)
+# ---------------------------------------------------------------------------
+
+def _place_filter(df: DataFrame) -> Column:
+    t = F.col("tags")
+    return T(t, "place").isNotNull() | T(t, "boundary").isNotNull() | T(t, "admin_level").isNotNull()
+
+
+def _place_cols(df: DataFrame) -> dict[str, Column]:
+    t = F.col("tags")
+    osm_type = (
+        F.when(T(t, "place").isNotNull(), T(t, "place"))
+        .when(T(t, "boundary").isNotNull(), F.lit("boundary"))
+        .otherwise(F.lit("admin_level"))
+    )
+    return {
+        "osm_type": osm_type,
+        "boundary": T(t, "boundary"),
+        "admin_level": sc.parse_admin_level(T(t, "admin_level")),
+        "name": sc.get_name(t),
+    }
+
+
+def build_place(osm: DataFrame) -> dict[str, DataFrame]:
+    f = osm.filter(_place_filter(osm))
+    return {
+        "place_point": _project(f.filter(_is_node(f)), _place_cols(f)),
+        "place_line": _project(f.filter(_is_way(f) & ~_closed(f)), _place_cols(f)),
+        # closed ways AND all matching relations land in place_polygon
+        # (place.lua:113-131, 133-175 — relations get member_ids)
+        "place_polygon": _project(
+            f.filter((_is_way(f) & _closed(f)) | _is_rel(f)), _place_cols(f), with_members=True
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# road / road_major (/root/reference/flex-config/style/road.lua:80-245,
+# road_major.lua)
+# ---------------------------------------------------------------------------
+
+def _road_common(t: Column) -> dict[str, Column]:
+    return {
+        "name": sc.get_name(t),
+        "osm_type": T(t, "highway"),
+        "ref": sc.get_ref(t),
+        "maxspeed": sc.parse_speed(T(t, "maxspeed")),
+        "layer": sc.parse_layer_value(T(t, "layer")),
+        "tunnel": T(t, "tunnel"),
+        "bridge": T(t, "bridge"),
+        "access": T(t, "access"),
+    }
+
+
+def _road_routable(t: Column) -> dict[str, Column]:
+    return {
+        "major": sc.major_road(T(t, "highway")),
+        "route_foot": sc.routable_foot(t),
+        "route_cycle": sc.routable_cycle(t),
+        "route_motor": sc.routable_motor(t),
+    }
+
+
+def _road_is_area(df: DataFrame) -> Column:
+    """area='yes' or indoor='room' routes ways to road_polygon (road.lua:141-143)."""
+    t = F.col("tags")
+    # coalesce to false: absent tags give NULL, and filter(~NULL) would drop
+    # every normal road under SQL three-valued logic
+    return F.coalesce((T(t, "area") == "yes") | (T(t, "indoor") == "room"), F.lit(False))
+
+
+def build_road(osm: DataFrame) -> dict[str, DataFrame]:
+    t = F.col("tags")
+    f = osm.filter(T(t, "highway").isNotNull())
+    point_cols = {**_road_common(t), "oneway": sc.parse_oneway(T(t, "oneway"))}
+    line_cols = {**_road_common(t), "oneway": sc.parse_oneway(T(t, "oneway")), **_road_routable(t)}
+    poly_cols = {**_road_common(t), **_road_routable(t)}
+    wr = f.filter(_is_way(f) | _is_rel(f))
+    return {
+        "road_point": _project(f.filter(_is_node(f)), point_cols),
+        "road_line": _project(wr.filter(~_road_is_area(wr)), line_cols, with_members=True),
+        "road_polygon": _project(wr.filter(_road_is_area(wr)), poly_cols, with_members=True),
+    }
+
+
+def build_road_major(osm: DataFrame) -> dict[str, DataFrame]:
+    """road_major: line subset where major_road(highway)
+    (/root/reference/flex-config/style/road_major.lua)."""
+    lines = build_road(osm)["road_line"]
+    return {"road_major": lines.filter(F.col("major"))}
+
+
+# ---------------------------------------------------------------------------
+# poi (/root/reference/flex-config/style/poi.lua,
+# poi_helpers.lua:3-141)
+# ---------------------------------------------------------------------------
+
+POI_FIRST_LEVEL_KEYS = [
+    "building", "shop", "amenity", "leisure", "man_made", "tourism",
+    "landuse", "natural", "historic",
+]
+_POI_LANDUSE = ["cemetery", "orchard", "railway", "village_green", "vineyard"]
+_POI_MAN_MADE = [
+    "beacon", "chimney", "communications_tower", "crane", "flagpole",
+    "lighthouse", "mast", "obelisk", "observatory", "offshore_platform",
+    "pier", "silo", "survey_point", "telescope", "tower", "water_tap",
+    "water_tower", "water_well", "windmill", "works",
+]
+_POI_NATURAL = ["peak", "glacier", "reef", "hot_spring", "bay"]
+
+
+def _poi_filter(df: DataFrame) -> Column:
+    t = F.col("tags")
+    first = sc.has_any_key(t, POI_FIRST_LEVEL_KEYS)
+    # second_level_tag_check_poi (poi_helpers.lua:104-121)
+    natural_ok = T(t, "natural").isNull() | T(t, "natural").isin(_POI_NATURAL)
+    landuse_ok = T(t, "landuse").isNull() | T(t, "landuse").isin(_POI_LANDUSE)
+    building_ok = T(t, "building").isNull() | (
+        (sc.get_name(t) != "") | T(t, "operator").isNotNull()
+    )
+    man_made_ok = T(t, "man_made").isNull() | T(t, "man_made").isin(_POI_MAN_MADE)
+    return first & natural_ok & landuse_ok & building_ok & man_made_ok
+
+
+def _poi_cols(df: DataFrame) -> dict[str, Column]:
+    t = F.col("tags")
+    # priority CASE (poi_helpers.lua:124-141): shop > amenity > building >
+    # leisure > landuse > natural > man_made > tourism > historic > Unknown
+    pairs = [
+        ("shop", "shop"), ("amenity", "amenity"), ("building", "building"),
+        ("leisure", "leisure"), ("landuse", "landuse"), ("natural", "natural"),
+        ("man_made", "man_made"), ("tourism", "tourism"), ("historic", "historic"),
+    ]
+    osm_type = F.lit("Unknown")
+    osm_subtype = F.lit("Unknown")
+    expr_type = None
+    expr_sub = None
+    for label, key in reversed(pairs):
+        cond = T(t, key).isNotNull()
+        expr_type = F.when(cond, F.lit(label)).otherwise(
+            expr_type if expr_type is not None else osm_type
+        )
+        expr_sub = F.when(cond, T(t, key)).otherwise(
+            expr_sub if expr_sub is not None else osm_subtype
+        )
+    return {
+        "osm_type": expr_type,
+        "osm_subtype": expr_sub,
+        "name": sc.get_name(t),
+        "housenumber": T(t, "addr:housenumber"),
+        "street": T(t, "addr:street"),
+        "city": T(t, "addr:city"),
+        "state": T(t, "addr:state"),
+        "postcode": T(t, "addr:postcode"),
+        "address": sc.get_address(t),
+        "operator": T(t, "operator"),
+    }
+
+
+def build_poi(osm: DataFrame) -> dict[str, DataFrame]:
+    f = osm.filter(_poi_filter(osm))
+    cols = _poi_cols(f)
+    return {
+        "poi_point": _project(f.filter(_is_node(f)), cols),
+        "poi_line": _project(f.filter(_is_way(f) & ~_closed(f)), cols),
+        "poi_polygon": _project(
+            f.filter((_is_way(f) & _closed(f)) | (_is_rel(f) & _rel_is_poly(f))),
+            cols,
+            with_members=True,
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# building (/root/reference/flex-config/style/building.lua,
+# building_helpers.lua:5-80)
+# ---------------------------------------------------------------------------
+
+BUILDING_FIRST_LEVEL_KEYS = ["building", "building:part", "office", "door", "entrance"]
+_ADDR_EXCLUDE_KEYS = [
+    "shop", "amenity", "building", "building:part", "landuse", "leisure",
+    "office", "tourism", "boundary", "natural", "aeroway", "demolished",
+]
+
+
+def _address_only(t: Column) -> Column:
+    """address_only_building (building_helpers.lua:5-34): no excluded keys and
+    at least one addr:* key."""
+    no_excluded = ~sc.has_any_key(t, _ADDR_EXCLUDE_KEYS)
+    has_addr = F.exists(F.map_keys(t), lambda k: k.startswith("addr:"))
+    return no_excluded & has_addr
+
+
+def _building_filter(df: DataFrame) -> Column:
+    t = F.col("tags")
+    return sc.has_any_key(t, BUILDING_FIRST_LEVEL_KEYS) | _address_only(t)
+
+
+def _building_cols(df: DataFrame) -> dict[str, Column]:
+    t = F.col("tags")
+    osm_type = (
+        F.when(T(t, "building").isNotNull(), F.lit("building"))
+        .when(T(t, "building:part").isNotNull(), F.lit("building_part"))
+        .when(T(t, "office").isNotNull(), F.lit("office"))
+        .when(_address_only(t), F.lit("address"))
+        .when(T(t, "entrance").isNotNull(), F.lit("entrance"))
+        .when(T(t, "door").isNotNull(), F.lit("door"))
+        .otherwise(F.lit("unknown"))
+    )
+    osm_subtype = (
+        F.when(T(t, "building").isNotNull(), T(t, "building"))
+        .when(T(t, "building:part").isNotNull(), T(t, "building:part"))
+        .when(T(t, "office").isNotNull(), T(t, "office"))
+        .when(_address_only(t), F.lit(None).cast("string"))
+        .when(T(t, "entrance").isNotNull(), T(t, "entrance"))
+        .when(T(t, "door").isNotNull(), T(t, "door"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return {
+        "osm_type": osm_type,
+        "osm_subtype": osm_subtype,
+        "name": sc.get_name(t),
+        "levels": T(t, "building:levels").try_cast("int"),
+        "height": sc.parse_to_meters(F.coalesce(T(t, "height"), T(t, "building:height"))),
+        "housenumber": T(t, "addr:housenumber"),
+        "street": T(t, "addr:street"),
+        "city": T(t, "addr:city"),
+        "state": T(t, "addr:state"),
+        "postcode": T(t, "addr:postcode"),
+        "address": sc.get_address(t),
+        "wheelchair": T(t, "wheelchair"),
+        "wheelchair_desc": sc.get_wheelchair_desc(t),
+    }
+
+
+def build_building(osm: DataFrame) -> dict[str, DataFrame]:
+    f = osm.filter(_building_filter(osm))
+    cols = _building_cols(f)
+    return {
+        "building_point": _project(f.filter(_is_node(f)), cols),
+        "building_polygon": _project(
+            f.filter((_is_way(f) & _closed(f)) | (_is_rel(f) & _rel_is_poly(f))),
+            cols,
+            with_members=True,
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# water (/root/reference/flex-config/style/water.lua:67-180)
+# ---------------------------------------------------------------------------
+
+WATER_NATURAL_VALUES = [
+    "water", "lake", "hot_spring", "waterfall", "wetland", "swamp",
+    "water_meadow", "waterway", "spring",
+]
+
+
+def _water_cols(df: DataFrame) -> dict[str, Column]:
+    t = F.col("tags")
+    is_nat = T(t, "natural").isin(WATER_NATURAL_VALUES)
+    return {
+        "osm_type": F.when(is_nat, F.lit("natural")).otherwise(F.lit("waterway")),
+        "osm_subtype": F.when(is_nat, T(t, "natural")).otherwise(T(t, "waterway")),
+        "name": sc.get_name(t),
+        "layer": sc.parse_layer_value(T(t, "layer")),
+        "tunnel": T(t, "tunnel"),
+        "bridge": T(t, "bridge"),
+        "boat": T(t, "boat"),
+    }
+
+
+def build_water(osm: DataFrame) -> dict[str, DataFrame]:
+    t = F.col("tags")
+    # natural-in-set takes priority; else waterway key (water.lua:73-143)
+    f = osm.filter(T(t, "natural").isin(WATER_NATURAL_VALUES) | T(t, "waterway").isNotNull())
+    cols = _water_cols(f)
+    return {
+        "water_point": _project(f.filter(_is_node(f)), cols),
+        "water_line": _project(f.filter(_is_way(f) & ~_closed(f)), cols),
+        "water_polygon": _project(
+            f.filter((_is_way(f) & _closed(f)) | (_is_rel(f) & _rel_is_poly(f))),
+            cols,
+            with_members=True,
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# amenity (/root/reference/flex-config/style/amenity.lua:76-110)
+# ---------------------------------------------------------------------------
+
+def _amenity_cols(df: DataFrame) -> dict[str, Column]:
+    t = F.col("tags")
+    amenity = T(t, "amenity")
+    osm_type = (
+        F.when(amenity.isNull() & (T(t, "bench") == "yes"), F.lit("bench"))
+        .when(amenity.isNull() & T(t, "brewery").isNotNull(), F.lit("brewery"))
+        .otherwise(amenity)
+    )
+    osm_subtype = (
+        F.when(amenity.isin("restaurant", "fast_food", "cafe"), T(t, "cuisine"))
+        .when(amenity == "shelter", T(t, "shelter_type"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return {
+        "osm_type": osm_type,
+        "osm_subtype": osm_subtype,
+        "name": sc.get_name(t),
+        "housenumber": T(t, "addr:housenumber"),
+        "street": T(t, "addr:street"),
+        "city": T(t, "addr:city"),
+        "state": T(t, "addr:state"),
+        "postcode": T(t, "addr:postcode"),
+        "address": sc.get_address(t),
+        "wheelchair": T(t, "wheelchair"),
+        "wheelchair_desc": sc.get_wheelchair_desc(t),
+    }
+
+
+def build_amenity(osm: DataFrame) -> dict[str, DataFrame]:
+    t = F.col("tags")
+    first = sc.has_any_key(t, ["amenity", "bench", "brewery"])
+    f = osm.filter(first)
+    cols = _amenity_cols(f)
+    # rows where get_osm_type returns nil (e.g. bench=no) are dropped
+    f = f.filter(cols["osm_type"].isNotNull())
+    return {
+        "amenity_point": _project(f.filter(_is_node(f)), cols),
+        "amenity_line": _project(f.filter(_is_way(f) & ~_closed(f)), cols),
+        "amenity_polygon": _project(
+            f.filter((_is_way(f) & _closed(f)) | (_is_rel(f) & _rel_is_poly(f))),
+            cols,
+            with_members=True,
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# shop (/root/reference/flex-config/style/shop_helpers.lua:2-32)
+# ---------------------------------------------------------------------------
+
+_SHOP_AMENITY_VALUES = [
+    "vending_machine", "car_rental", "motorcycle_rental", "cafe",
+    "phone_repair", "music_school", "pub", "pharmacy", "ticket_booth", "shop",
+]
+
+
+def _shop_cols(df: DataFrame) -> dict[str, Column]:
+    t = F.col("tags")
+    osm_type = (
+        F.when(T(t, "shop").isNotNull(), F.lit("shop"))
+        .when(T(t, "amenity").isin(_SHOP_AMENITY_VALUES), F.lit("amenity"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    osm_subtype = (
+        F.when(T(t, "shop").isNotNull(), T(t, "shop"))
+        .when(T(t, "amenity").isin(_SHOP_AMENITY_VALUES), T(t, "amenity"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return {
+        "osm_type": osm_type,
+        "osm_subtype": osm_subtype,
+        "name": sc.get_name(t),
+        "housenumber": T(t, "addr:housenumber"),
+        "street": T(t, "addr:street"),
+        "city": T(t, "addr:city"),
+        "state": T(t, "addr:state"),
+        "postcode": T(t, "addr:postcode"),
+        "address": sc.get_address(t),
+        "operator": T(t, "operator"),
+        "wheelchair": T(t, "wheelchair"),
+        "wheelchair_desc": sc.get_wheelchair_desc(t),
+    }
+
+
+def build_shop(osm: DataFrame) -> dict[str, DataFrame]:
+    f = osm.filter(sc.has_any_key(F.col("tags"), ["shop", "amenity"]))
+    cols = _shop_cols(f)
+    f = f.filter(cols["osm_type"].isNotNull())
+    return {
+        "shop_point": _project(f.filter(_is_node(f)), cols),
+        "shop_polygon": _project(
+            f.filter((_is_way(f) & _closed(f)) | (_is_rel(f) & _rel_is_poly(f))),
+            cols,
+            with_members=True,
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# landuse / leisure (/root/reference/flex-config/style/{landuse,leisure}.lua)
+# ---------------------------------------------------------------------------
+
+def _single_key_layer(osm: DataFrame, key: str, prefix: str, extra: dict[str, Column] | None = None,
+                      has_line: bool = False, exclude_vals: list[str] | None = None) -> dict[str, DataFrame]:
+    t = F.col("tags")
+    cond = T(t, key).isNotNull()
+    if exclude_vals:
+        cond = cond & ~T(t, key).isin(exclude_vals)
+    f = osm.filter(cond)
+    cols = {"osm_type": T(t, key), "name": sc.get_name(t)}
+    if extra:
+        cols.update(extra)
+    out = {
+        f"{prefix}_point": _project(f.filter(_is_node(f)), cols),
+        f"{prefix}_polygon": _project(
+            f.filter((_is_way(f) & _closed(f)) | (_is_rel(f) & _rel_is_poly(f))),
+            cols,
+            with_members=True,
+        ),
+    }
+    if has_line:
+        out[f"{prefix}_line"] = _project(f.filter(_is_way(f) & ~_closed(f)), cols)
+    return out
+
+
+def build_landuse(osm: DataFrame) -> dict[str, DataFrame]:
+    return _single_key_layer(osm, "landuse", "landuse")
+
+
+def build_leisure(osm: DataFrame) -> dict[str, DataFrame]:
+    return _single_key_layer(osm, "leisure", "leisure")
+
+
+def build_natural(osm: DataFrame) -> dict[str, DataFrame]:
+    """natural minus the water-layer values (natural.lua:56-77)."""
+    t = F.col("tags")
+    return _single_key_layer(
+        osm, "natural", "natural",
+        extra={"ele": sc.parse_to_meters(T(t, "ele"))},
+        has_line=True,
+        exclude_vals=WATER_NATURAL_VALUES,
+    )
+
+
+# ---------------------------------------------------------------------------
+# indoor (/root/reference/flex-config/style/indoor.lua:60-130)
+# ---------------------------------------------------------------------------
+
+def build_indoor(osm: DataFrame) -> dict[str, DataFrame]:
+    t = F.col("tags")
+    f = osm.filter(sc.has_any_key(t, ["indoor", "door", "entrance"]))
+    cols = {
+        "osm_type": (
+            F.when(T(t, "indoor").isNotNull(), T(t, "indoor"))
+            .when(T(t, "door").isNotNull(), F.lit("door"))
+            .when(T(t, "entrance").isNotNull(), F.lit("entrance"))
+            .otherwise(F.lit("unknown"))
+        ),
+        "name": sc.get_name(t),
+        "layer": sc.parse_layer_value(T(t, "layer")),
+        "level": T(t, "level"),
+        "room": T(t, "room"),
+        "entrance": T(t, "entrance"),
+        "door": T(t, "door"),
+        "capacity": T(t, "capacity"),
+        "highway": T(t, "highway"),
+    }
+    return {
+        "indoor_point": _project(f.filter(_is_node(f)), cols),
+        "indoor_line": _project(f.filter(_is_way(f) & ~_closed(f)), cols),
+        "indoor_polygon": _project(
+            f.filter((_is_way(f) & _closed(f)) | (_is_rel(f) & _rel_is_poly(f))),
+            cols,
+            with_members=True,
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# infrastructure (/root/reference/flex-config/style/infrastructure.lua:12-131)
+# ---------------------------------------------------------------------------
+
+INFRASTRUCTURE_KEYS = ["aeroway", "amenity", "emergency", "highway", "man_made", "power", "utility"]
+_INFRA_TOWER = ["tower", "communications_tower", "mast", "lighthouse", "flagpole"]
+_INFRA_TANK = ["silo", "storage_tank", "water_tower", "reservoir_covered"]
+
+
+def _infrastructure_cols(df: DataFrame) -> tuple[dict[str, Column], Column]:
+    t = F.col("tags")
+    osm_type = (
+        F.when((T(t, "amenity") == "fire_hydrant") | (T(t, "emergency") == "fire_hydrant"), F.lit("emergency"))
+        .when((T(t, "amenity") == "emergency_phone") | (T(t, "emergency") == "phone"), F.lit("emergency"))
+        .when(T(t, "emergency").isNotNull(), F.lit("emergency"))
+        .when(T(t, "highway") == "emergency_access_point", F.lit("emergency"))
+        .when(T(t, "man_made").isin(_INFRA_TOWER), T(t, "man_made"))
+        .when(T(t, "man_made").isin(_INFRA_TANK), T(t, "man_made"))
+        .when(T(t, "power").isNotNull(), F.lit("power"))
+        .when(T(t, "utility").isNotNull(), F.lit("utility"))
+        .when(T(t, "aeroway").isNotNull(), F.lit("aeroway"))
+        .otherwise(F.lit("unknown"))
+    )
+    osm_subtype = (
+        F.when((T(t, "amenity") == "fire_hydrant") | (T(t, "emergency") == "fire_hydrant"), F.lit("fire_hydrant"))
+        .when((T(t, "amenity") == "emergency_phone") | (T(t, "emergency") == "phone"), F.lit("phone"))
+        .when(T(t, "emergency").isNotNull(), T(t, "emergency"))
+        .when(T(t, "highway") == "emergency_access_point", F.lit("highway_access"))
+        .when(T(t, "man_made").isin(_INFRA_TOWER), T(t, "tower:type"))
+        .when(T(t, "man_made").isin(_INFRA_TANK), T(t, "content"))
+        .when(T(t, "power").isNotNull(), T(t, "power"))
+        .when(T(t, "aeroway").isNotNull(), T(t, "aeroway"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    # emergency=no demotes to unknown (infrastructure.lua:124-128)
+    demote = (osm_type == "emergency") & (osm_subtype == "no")
+    osm_type = F.when(demote, F.lit("unknown")).otherwise(osm_type)
+    osm_subtype = F.when(demote, F.lit(None).cast("string")).otherwise(osm_subtype)
+    cols = {
+        "osm_type": osm_type,
+        "osm_subtype": osm_subtype,
+        "name": sc.get_name(t),
+        "ele": sc.parse_to_meters(T(t, "ele")),
+        "height": sc.parse_to_meters(F.coalesce(T(t, "height"), T(t, "building:height"))),
+        "operator": T(t, "operator"),
+        "material": T(t, "material"),
+    }
+    keep = osm_type != "unknown"
+    return cols, keep
+
+
+def build_infrastructure(osm: DataFrame) -> dict[str, DataFrame]:
+    f = osm.filter(sc.has_any_key(F.col("tags"), INFRASTRUCTURE_KEYS))
+    cols, keep = _infrastructure_cols(f)
+    f = f.filter(keep)
+    return {
+        "infrastructure_point": _project(f.filter(_is_node(f)), cols),
+        "infrastructure_line": _project(f.filter(_is_way(f) & ~_closed(f)), cols),
+        "infrastructure_polygon": _project(
+            f.filter((_is_way(f) & _closed(f)) | (_is_rel(f) & _rel_is_poly(f))),
+            cols,
+            with_members=True,
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# public_transport (/root/reference/flex-config/style/public_transport.lua:92-135)
+# ---------------------------------------------------------------------------
+
+def build_public_transport(osm: DataFrame) -> dict[str, DataFrame]:
+    t = F.col("tags")
+    f = osm.filter(sc.has_any_key(t, ["public_transport", "aerialway", "railway"]))
+    pairs = [("bus", "bus"), ("railway", "railway"), ("lightrail", "lightrail"),
+             ("train", "train"), ("aerialway", "aerialway"), ("highway", "highway")]
+    osm_type: Column = F.coalesce(T(t, "public_transport"), F.lit("unknown"))
+    osm_subtype: Column = F.lit(None).cast("string")
+    for label, key in reversed(pairs):
+        osm_type = F.when(T(t, key).isNotNull(), F.lit(label)).otherwise(osm_type)
+        osm_subtype = F.when(T(t, key).isNotNull(), T(t, key)).otherwise(osm_subtype)
+    cols = {
+        "osm_type": osm_type,
+        "osm_subtype": osm_subtype,
+        "name": sc.get_name(t),
+        "public_transport": T(t, "public_transport"),
+        "layer": sc.parse_layer_value(T(t, "layer")),
+        "ref": sc.get_ref(t),
+        "operator": T(t, "operator"),
+        "network": T(t, "network"),
+        "surface": T(t, "surface"),
+        "wheelchair": T(t, "wheelchair"),
+        "wheelchair_desc": sc.get_wheelchair_desc(t),
+    }
+    return {
+        "public_transport_point": _project(f.filter(_is_node(f)), cols),
+        "public_transport_line": _project(f.filter(_is_way(f) & ~_closed(f)), cols),
+        "public_transport_polygon": _project(
+            f.filter((_is_way(f) & _closed(f)) | (_is_rel(f) & _rel_is_poly(f))),
+            cols,
+            with_members=True,
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# traffic (/root/reference/flex-config/style/traffic.lua:51-210)
+# ---------------------------------------------------------------------------
+
+_TRAFFIC_HIGHWAY = [
+    "traffic_signals", "mini_roundabout", "stop", "crossing", "speed_camera",
+    "motorway_junction", "turning_circle", "ford", "street_lamp", "services",
+]
+_TRAFFIC_AMENITY = ["fuel", "parking", "bicycle_parking"]
+
+
+def build_traffic(osm: DataFrame) -> dict[str, DataFrame]:
+    t = F.col("tags")
+    f = osm.filter(
+        sc.has_any_key(t, ["highway", "railway", "barrier", "traffic_calming", "amenity", "noexit"])
+    )
+    osm_type = (
+        F.when(T(t, "highway").isin(_TRAFFIC_HIGHWAY), T(t, "highway"))
+        .when(T(t, "railway") == "level_crossing", F.lit("crossing"))
+        .when(T(t, "barrier").isNotNull(), F.lit("barrier"))
+        .when(T(t, "traffic_calming").isNotNull(), F.lit("traffic_calming"))
+        .when(T(t, "amenity").isin(_TRAFFIC_AMENITY), F.lit("amenity"))
+        .when(T(t, "noexit").isNotNull(), F.lit("noexit"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    osm_subtype = (
+        F.when(T(t, "highway").isin(_TRAFFIC_HIGHWAY), F.lit(None).cast("string"))
+        .when(T(t, "railway") == "level_crossing", F.lit(None).cast("string"))
+        .when(T(t, "barrier").isNotNull(), T(t, "barrier"))
+        .when(T(t, "traffic_calming").isNotNull(), T(t, "traffic_calming"))
+        .when(T(t, "amenity").isin(_TRAFFIC_AMENITY), T(t, "amenity"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    cols = {"osm_type": osm_type, "osm_subtype": osm_subtype}
+    f = f.filter(osm_type.isNotNull())
+    return {
+        "traffic_point": _project(f.filter(_is_node(f)), cols),
+        "traffic_line": _project(f.filter(_is_way(f) & ~_closed(f)), cols),
+        "traffic_polygon": _project(
+            f.filter((_is_way(f) & _closed(f)) | (_is_rel(f) & _rel_is_poly(f))),
+            cols,
+            with_members=True,
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# tags / unitable escape hatches (/root/reference/flex-config/style/tags.lua,
+# unitable.lua)
+# ---------------------------------------------------------------------------
+
+def build_tags(osm: DataFrame) -> dict[str, DataFrame]:
+    t = F.col("tags")
+    f = osm.filter(tagf.has_tags_after_clean(t))
+    out = f.select(
+        "osm_id", "geom_type",
+        tagf.clean_tags(t).alias("tags"),
+        sc.osm_url(F.col("geom_type"), F.col("osm_id")).alias("osm_url"),
+    )
+    return {"tags": out}
+
+
+def build_unitable(osm: DataFrame) -> dict[str, DataFrame]:
+    t = F.col("tags")
+    f = osm.filter(tagf.has_tags_after_clean(t))
+    out = f.select(
+        "osm_id", "geom_type", "lon", "lat", "geom_wkb",
+        tagf.clean_tags(t).alias("tags"),
+    )
+    return {"unitable": out}
+
+
+# ---------------------------------------------------------------------------
+# combined_point layers: polygons collapse to centroid so points+polygons
+# land in one table (/root/reference/flex-config/style/building_combined_point.lua:123,169)
+# — centroid itself is applied by operators.centroid_collapse (pandas UDF over
+# WKB); here we just union the souce rows with a marker of what needs collapsing.
+# ---------------------------------------------------------------------------
+
+def _combined(builder: Callable[[DataFrame], dict[str, DataFrame]], point_tbl: str,
+              poly_tbl: str, out_name: str) -> Callable[[DataFrame], dict[str, DataFrame]]:
+    def build(osm: DataFrame) -> dict[str, DataFrame]:
+        parts = builder(osm)
+        point = parts[point_tbl].withColumn("geom_src", F.lit("point"))
+        poly = parts[poly_tbl].withColumn("geom_src", F.lit("polygon"))
+        return {out_name: point.unionByName(poly, allowMissingColumns=True)}
+
+    return build
+
+
+build_building_combined_point = _combined(
+    build_building, "building_point", "building_polygon", "building_combined_point"
+)
+build_poi_combined_point = _combined(build_poi, "poi_point", "poi_polygon", "poi_combined_point")
+build_shop_combined_point = _combined(build_shop, "shop_point", "shop_polygon", "shop_combined_point")
+
+
+# ---------------------------------------------------------------------------
+# registry + layersets
+# ---------------------------------------------------------------------------
+
+LAYER_BUILDERS: dict[str, Callable[[DataFrame], dict[str, DataFrame]]] = {
+    "amenity": build_amenity,
+    "building": build_building,
+    "building_combined_point": build_building_combined_point,
+    "indoor": build_indoor,
+    "infrastructure": build_infrastructure,
+    "landuse": build_landuse,
+    "leisure": build_leisure,
+    "natural": build_natural,
+    "place": build_place,
+    "poi": build_poi,
+    "poi_combined_point": build_poi_combined_point,
+    "public_transport": build_public_transport,
+    "road": build_road,
+    "road_major": build_road_major,
+    "shop": build_shop,
+    "shop_combined_point": build_shop_combined_point,
+    "tags": build_tags,
+    "traffic": build_traffic,
+    "unitable": build_unitable,
+    "water": build_water,
+}
+
+# /root/reference/flex-config/layerset/*.ini
+LAYERSETS: dict[str, list[str]] = {
+    "minimal": ["place", "poi_combined_point", "road_major"],
+    "basic": [
+        "building_combined_point", "landuse", "place", "poi_combined_point",
+        "road_major", "unitable",
+    ],
+    "default": [
+        "amenity", "building", "indoor", "infrastructure", "landuse", "leisure",
+        "natural", "place", "poi", "public_transport", "road", "shop", "tags",
+        "traffic", "water",
+    ],
+    "everything": sorted(LAYER_BUILDERS),
+}
+
+# full table inventory (42 tables / 20 layers; SURVEY.md §1.3)
+_LAYER_TABLES: dict[str, list[tuple[str, str]]] = {
+    "amenity": [("amenity_point", "point"), ("amenity_line", "line"), ("amenity_polygon", "polygon")],
+    "building": [("building_point", "point"), ("building_polygon", "polygon")],
+    "building_combined_point": [("building_combined_point", "combined_point")],
+    "indoor": [("indoor_point", "point"), ("indoor_line", "line"), ("indoor_polygon", "polygon")],
+    "infrastructure": [("infrastructure_point", "point"), ("infrastructure_line", "line"), ("infrastructure_polygon", "polygon")],
+    "landuse": [("landuse_point", "point"), ("landuse_polygon", "polygon")],
+    "leisure": [("leisure_point", "point"), ("leisure_polygon", "polygon")],
+    "natural": [("natural_point", "point"), ("natural_line", "line"), ("natural_polygon", "polygon")],
+    "place": [("place_point", "point"), ("place_line", "line"), ("place_polygon", "polygon")],
+    "poi": [("poi_point", "point"), ("poi_line", "line"), ("poi_polygon", "polygon")],
+    "poi_combined_point": [("poi_combined_point", "combined_point")],
+    "public_transport": [("public_transport_point", "point"), ("public_transport_line", "line"), ("public_transport_polygon", "polygon")],
+    "road": [("road_point", "point"), ("road_line", "line"), ("road_polygon", "polygon")],
+    "road_major": [("road_major", "line")],
+    "shop": [("shop_point", "point"), ("shop_polygon", "polygon")],
+    "shop_combined_point": [("shop_combined_point", "combined_point")],
+    "tags": [("tags", "none")],
+    "traffic": [("traffic_point", "point"), ("traffic_line", "line"), ("traffic_polygon", "polygon")],
+    "unitable": [("unitable", "any")],
+    "water": [("water_point", "point"), ("water_line", "line"), ("water_polygon", "polygon")],
+}
+
+TABLES: list[TableSpec] = [
+    TableSpec(layer=layer, name=name, kind=kind)
+    for layer, tbls in sorted(_LAYER_TABLES.items())
+    for name, kind in tbls
+]
+
+
+def layerset_layers(layerset: str) -> list[str]:
+    try:
+        return LAYERSETS[layerset]
+    except KeyError:
+        raise ValueError(f"unknown layerset {layerset!r}; options: {sorted(LAYERSETS)}")
+
+
+def build_layer_tables(osm: DataFrame, layerset: str = "everything") -> dict[str, DataFrame]:
+    """One shared scan → every enabled layer's output tables.
+
+    Callers should ``osm.cache()`` (or persist to a staged table) before this
+    at scale: each layer re-filters the same frame and Spark will otherwise
+    re-read the source per table. Catalyst pushes each layer's tag predicate
+    into its scan either way.
+    """
+    out: dict[str, DataFrame] = {}
+    for layer in layerset_layers(layerset):
+        for name, df in LAYER_BUILDERS[layer](osm).items():
+            out[name] = df
+    return out

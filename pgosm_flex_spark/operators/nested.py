@@ -1,0 +1,128 @@
+"""Nested admin polygon hierarchy — SURVEY.md J1 + A1 + J7.
+
+Re-expresses /root/reference/flex-config/sql/place_polygon_nested.sql:
+
+- population filter (populate_place_polygon_nested, lines 55-75):
+  rows participate when ``boundary = 'administrative'`` OR osm_type ∈
+  {neighborhood, city, suburb, town, admin_level, locality}, name not null;
+  the stored admin_level is ``COALESCE(admin_level, 99)``.
+- containment paths (build_nested_admin_polygons, lines 96-150):
+  ``INNER JOIN LATERAL ... ST_Within(p.geom, i.geom)`` with
+  ``ARRAY_AGG(... ORDER BY COALESCE(admin_level, 99))`` → ``nest_level`` +
+  ``name_path``/``osm_id_path``/``admin_level_path``.
+- ``row_innermost`` generated column (lines 12-16): last path entry == own id.
+- ``innermost`` (lines 156-172): row_innermost AND the id appears in no
+  *other* row's osm_id_path.
+
+Containment between polygons is evaluated at the child's centroid (the
+reference's ST_Within on full geometry agrees for properly nested admin
+hierarchies; partial-overlap edge cases are documented divergence —
+SURVEY.md §7.3). The reference's LIMIT-100 batched loop (lines 96-150) is
+unnecessary set-at-once in Spark; its restart property lives in
+plans/checkpoint.py instead. Path ties at equal admin_level are broken by
+(name, osm_id) for determinism (the reference leaves them unordered).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pgosm_flex_spark.geometry.udfs import centroid_udf
+from pgosm_flex_spark.operators.pip_join import pip_join
+
+_NESTED_OSM_TYPES = ["neighborhood", "city", "suburb", "town", "admin_level", "locality"]
+
+
+def build_nested_admin_polygons(
+    place_polygon: DataFrame,
+    id_col: str = "osm_id",
+    fine_res: int = 15,
+) -> DataFrame:
+    """place_polygon → one row per participating polygon with path columns.
+
+    Output: osm_id, name, osm_type, admin_level (coalesced to 99),
+    nest_level, name_path, osm_id_path, admin_level_path, row_innermost,
+    innermost.
+    """
+    participates = (
+        (F.col("boundary") == "administrative")
+        | F.col("osm_type").isin(_NESTED_OSM_TYPES)
+    ) & F.col("name").isNotNull()
+    polys = (
+        place_polygon.filter(participates)
+        .select(
+            id_col,
+            "name",
+            "osm_type",
+            F.coalesce(F.col("admin_level"), F.lit(99)).alias("admin_level"),
+            "geom_wkb",
+        )
+    )
+
+    # child representative points (centroids) — vectorized UDF, one pass
+    reps = polys.withColumn("__c", centroid_udf(F.col("geom_wkb"))).select(
+        F.col(id_col).alias("child_id"),
+        F.col("__c.lon").alias("lon"),
+        F.col("__c.lat").alias("lat"),
+    )
+    # containment pairs: child rep point within container polygon (a polygon
+    # contains its own centroid for convex admin cells → self included, as
+    # ST_Within(p, p) is true in the reference)
+    pairs = pip_join(
+        reps,
+        polys,
+        point_cols=["child_id"],
+        poly_id=id_col,
+        fine_res=fine_res,
+    ).withColumnRenamed(id_col, "container_id")
+
+    containers = polys.select(
+        F.col(id_col).alias("container_id"),
+        F.col("admin_level").alias("c_admin_level"),
+        F.col("name").alias("c_name"),
+    )
+    enriched = pairs.join(F.broadcast(containers), "container_id")
+
+    # A1: ordered path arrays — order encoded in the struct sort key
+    paths = enriched.groupBy("child_id").agg(
+        F.count("container_id").alias("nest_level"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("c_admin_level").alias("lvl"),
+                    F.col("c_name").alias("name"),
+                    F.col("container_id").alias("cid"),
+                )
+            )
+        ).alias("chain"),
+    )
+    paths = paths.select(
+        F.col("child_id").alias(id_col),
+        "nest_level",
+        F.transform("chain", lambda s: s["name"]).alias("name_path"),
+        F.transform("chain", lambda s: s["cid"]).alias("osm_id_path"),
+        F.transform("chain", lambda s: s["lvl"]).alias("admin_level_path"),
+    )
+
+    out = polys.drop("geom_wkb").join(paths, id_col, "left")
+
+    # row_innermost (place_polygon_nested.sql:12-16)
+    out = out.withColumn(
+        "row_innermost",
+        F.coalesce(F.element_at("osm_id_path", -1) == F.col(id_col), F.lit(False)),
+    )
+
+    # innermost (place_polygon_nested.sql:156-172)
+    others = (
+        out.select(F.col(id_col).alias("row_id"), F.explode("osm_id_path").alias("member"))
+        .filter(F.col("row_id") != F.col("member"))
+        .select(F.col("member").alias(id_col))
+        .distinct()
+        .withColumn("__contains_others", F.lit(True))
+    )
+    out = out.join(F.broadcast(others), id_col, "left")
+    out = out.withColumn(
+        "innermost", F.col("row_innermost") & F.col("__contains_others").isNull()
+    ).drop("__contains_others")
+    return out

@@ -1,0 +1,162 @@
+"""Point-in-polygon join — the engine's flagship operator (SURVEY.md J1).
+
+Replaces the reference's PostGIS containment join
+(`ST_Within` + GiST + ST_Subdivide matview,
+/root/reference/flex-config/sql/place_polygon_nested.sql:114-139 and
+/root/reference/flex-config/sql/place.sql:60-66) with the canonical
+distributed two-phase plan:
+
+1. **Cover** (once per polygon set): each polygon → covering cells, each
+   classified interior / boundary, cells chosen at a per-polygon adaptive
+   resolution (coarse for continents, fine for buildings) quantized to a
+   small set of levels. Runs distributed via ``mapInPandas``.
+2. **Prefilter**: points carry one fine-res cell id (pure JVM math). For each
+   resolution present in the cover, a *broadcast* hash join matches
+   ``parent(point_cell, res) == cover_cell`` — no shuffle of the point side
+   at all, which also makes the hot-cell skew of dense cities irrelevant to
+   the join itself (no hash-partitioning by cell ever happens).
+3. **Refine**: candidates in interior cells are hits with no exact test
+   (most of them, by area); boundary-cell candidates run the exact
+   vectorized PIP pandas UDF.
+
+At 100 TB the point side streams through map-only stages; the cover table is
+the only thing broadcast (bounded by max_cells_per_poly × #polygons). For
+polygon sets too large to broadcast, pass ``broadcast_cover=False`` to fall
+back to a shuffle equi-join on the cell key with optional salting.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pgosm_flex_spark.geometry import kernels, wkb as wkb_mod
+from pgosm_flex_spark.geometry.udfs import pip_udf
+from pgosm_flex_spark.index import cells
+
+DEFAULT_FINE_RES = 15
+DEFAULT_COARSE_RES = 7
+DEFAULT_MAX_CELLS = 256
+
+
+def _pick_res(bbox: tuple[float, float, float, float], fine: int, coarse: int, max_cells: int) -> int:
+    """Finest res in [coarse, fine] whose grid keeps the bbox under max_cells."""
+    xmin, ymin, xmax, ymax = bbox
+    for res in range(fine, coarse - 1, -1):
+        n = 1 << res
+        nx = max(1, int(math.floor((xmax + 180) / 360 * n)) - int(math.floor((xmin + 180) / 360 * n)) + 1)
+        # mercator y span approximated by lat fraction — good enough for sizing
+        ny_frac = abs(
+            float(cells._merc_y(np.array([ymin]))[0]) - float(cells._merc_y(np.array([ymax]))[0])
+        )
+        ny = max(1, int(ny_frac * n) + 1)
+        if nx * ny <= max_cells:
+            return res
+    return coarse
+
+
+def build_polygon_cover(
+    polygons: DataFrame,
+    poly_id: str = "osm_id",
+    wkb_col: str = "geom_wkb",
+    fine_res: int = DEFAULT_FINE_RES,
+    coarse_res: int = DEFAULT_COARSE_RES,
+    max_cells_per_poly: int = DEFAULT_MAX_CELLS,
+) -> DataFrame:
+    """polygons → (poly_id, cell, kind, geom_wkb) cover table.
+
+    ``geom_wkb`` is carried only on boundary rows (interior hits need no
+    geometry), keeping the broadcast payload small. The adaptive resolution
+    is the Spark-native ST_Subdivide: big polygons get coarse cells instead
+    of huge cell lists.
+    """
+    schema = f"{poly_id} long, cell long, kind tinyint, geom_wkb binary"
+
+    def cover(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out_id, out_cell, out_kind, out_wkb = [], [], [], []
+            for pid, raw in zip(b[poly_id].tolist(), b[wkb_col].tolist()):
+                if raw is None:
+                    continue
+                raw = bytes(raw)
+                geom = wkb_mod.decode(raw)
+                res = _pick_res(geom.bbox, fine_res, coarse_res, max_cells_per_poly)
+                try:
+                    cid, kind = kernels.covering_cells(geom, res)
+                except ValueError:
+                    cid, kind = kernels.covering_cells(geom, coarse_res)
+                out_id.extend([pid] * len(cid))
+                out_cell.extend(cid.tolist())
+                out_kind.extend(kind.tolist())
+                boundary = kind == kernels.KIND_BOUNDARY
+                out_wkb.extend([raw if bnd else None for bnd in boundary.tolist()])
+            yield pd.DataFrame(
+                {poly_id: out_id, "cell": out_cell, "kind": out_kind, "geom_wkb": out_wkb}
+            )
+
+    return polygons.select(poly_id, wkb_col).mapInPandas(cover, schema=schema)
+
+
+def pip_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    point_cols: list[str],
+    poly_id: str = "osm_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    wkb_col: str = "geom_wkb",
+    fine_res: int = DEFAULT_FINE_RES,
+    coarse_res: int = DEFAULT_COARSE_RES,
+    max_cells_per_poly: int = DEFAULT_MAX_CELLS,
+    broadcast_cover: bool = True,
+    cover: DataFrame | None = None,
+) -> DataFrame:
+    """points ⋈_within polygons → ``point_cols + [poly_id]``, one row per
+    (point, containing polygon) pair.
+
+    Pass a precomputed ``cover`` (from :func:`build_polygon_cover`, cached)
+    when joining several point sets against the same polygons.
+    """
+    own_cover = cover is None
+    if own_cover:
+        cover = build_polygon_cover(
+            polygons, poly_id, wkb_col, fine_res, coarse_res, max_cells_per_poly
+        ).persist()
+    res_levels = [r["res"] for r in cover.select(
+        F.shiftright("cell", 58).alias("res")).distinct().collect()]
+
+    pts = points.select(*point_cols, F.col(lon).alias("__lon"), F.col(lat).alias("__lat"))
+    pts = pts.withColumn("__fine_cell", cells.cell_col(F.col("__lon"), F.col("__lat"), fine_res))
+
+    matched_parts: list[DataFrame] = []
+    for res in sorted(res_levels, reverse=True):
+        cov_r = cover.filter(F.shiftright("cell", 58) == res)
+        if broadcast_cover:
+            cov_r = F.broadcast(cov_r)
+        shift = fine_res - res
+        point_cell_at_res = (
+            F.lit(res).cast("long") * F.lit(1 << 58).cast("long")
+            + F.shiftright(cells.cell_x_col(F.col("__fine_cell")), shift).cast("long") * F.lit(1 << 29).cast("long")
+            + F.shiftright(cells.cell_y_col(F.col("__fine_cell")), shift).cast("long")
+        )
+        cand = pts.withColumn("__cell", point_cell_at_res).join(
+            cov_r, F.col("__cell") == cov_r["cell"], "inner"
+        )
+        # interior-cell candidates are hits by construction — the exact UDF
+        # only ever sees boundary-cell rows
+        interior = cand.filter(F.col("kind") == kernels.KIND_INTERIOR)
+        boundary = cand.filter(F.col("kind") == kernels.KIND_BOUNDARY).filter(
+            pip_udf(F.col("__lon"), F.col("__lat"), F.col("geom_wkb"))
+        )
+        matched_parts.append(interior.select(*point_cols, F.col(poly_id)))
+        matched_parts.append(boundary.select(*point_cols, F.col(poly_id)))
+
+    out = matched_parts[0]
+    for part in matched_parts[1:]:
+        out = out.unionByName(part)
+    return out

@@ -1,0 +1,164 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pgosm_flex_spark import fixtures
+from pgosm_flex_spark.geometry import kernels, wkb
+from pgosm_flex_spark.layers import build_layer_tables
+from pgosm_flex_spark.operators import (
+    build_nested_admin_polygons,
+    build_polygon_cover,
+    collapse_to_points,
+    knn_join,
+    pip_join,
+    relation_member_dedup,
+)
+from pgosm_flex_spark.operators.tiles import tile_counts
+
+
+@pytest.fixture(scope="module")
+def world(spark):
+    osm = fixtures.osm_objects_df(spark).cache()
+    tables = build_layer_tables(osm, layerset="everything")
+    place_poly = relation_member_dedup(tables["place_polygon"]).cache()
+    return {"osm": osm, "tables": tables, "place_polygon": place_poly}
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    n = 3000
+    pdf = pd.DataFrame(
+        {
+            "image_id": [f"img{i:012d}" for i in range(n)],
+            "lon": [fixtures.point_lonlat(i)[0] for i in range(n)],
+            "lat": [fixtures.point_lonlat(i)[1] for i in range(n)],
+        }
+    )
+    return spark.createDataFrame(pdf).cache(), pdf
+
+
+def test_dedup_removes_member_ways(world):
+    place = world["tables"]["place_polygon"]
+    deduped = world["place_polygon"]
+    # 4 relations × 2 members each, all members exist standalone
+    assert place.count() - deduped.count() == 8
+    # members gone, relations retained
+    member_ids = [r[0] for r in place.filter(F.col("osm_id") < 0)
+                  .select(F.explode("member_ids")).collect()]
+    remaining = {r["osm_id"] for r in deduped.select("osm_id").collect()}
+    assert not (set(member_ids) & remaining)
+    assert sum(1 for i in remaining if i < 0) == 4
+
+
+def test_pip_join_matches_brute_force(world, points, spark):
+    pts_df, pdf = points
+    polys = world["place_polygon"].filter(F.col("osm_id") > 0)
+    got = (
+        pip_join(pts_df, polys, point_cols=["image_id"])
+        .groupBy("image_id")
+        .count()
+        .toPandas()
+        .set_index("image_id")["count"]
+    )
+    # brute force oracle with the numpy kernels over collected polygons
+    polys_pd = polys.select("osm_id", "geom_wkb").toPandas()
+    lon = pdf["lon"].to_numpy()
+    lat = pdf["lat"].to_numpy()
+    exp_counts = np.zeros(len(pdf), dtype=int)
+    for raw in polys_pd["geom_wkb"]:
+        g = wkb.decode(bytes(raw))
+        exp_counts += kernels.points_in_geom(lon, lat, g)
+    exp = pd.Series(exp_counts, index=pdf["image_id"])
+    exp = exp[exp > 0]
+    assert got.sort_index().equals(exp.sort_index().astype("int64").rename("count"))
+    # every point inside the world should be in >= 1 polygon (country level
+    # gridcells shrink slightly: some points fall in gaps, that's fine) and
+    # at most 5 (one per admin level)
+    assert got.max() <= len(fixtures.ADMIN_GRIDS)
+
+
+def test_pip_join_interior_shortcut_dominates(world, points, spark):
+    """The cover must classify most covered area interior at fine res, so the
+    exact UDF only sees a small minority of candidates."""
+    polys = world["place_polygon"].filter(F.col("osm_id") > 0)
+    cover = build_polygon_cover(polys).toPandas()
+    interior = (cover["kind"] == kernels.KIND_INTERIOR).sum()
+    assert interior / len(cover) > 0.25
+    # boundary rows carry wkb, interior rows must not (broadcast size)
+    assert cover.loc[cover["kind"] == kernels.KIND_INTERIOR, "geom_wkb"].isna().all()
+    assert cover.loc[cover["kind"] == kernels.KIND_BOUNDARY, "geom_wkb"].notna().all()
+
+
+def test_nested_admin_polygons(world):
+    nested = build_nested_admin_polygons(world["place_polygon"]).cache()
+    rows = {r["osm_id"]: r for r in nested.collect()}
+
+    # brute-force oracle: centroid-in-polygon over the deduped polygon set
+    polys_pd = world["place_polygon"].select("osm_id", "geom_wkb").toPandas()
+    geoms = {int(r["osm_id"]): wkb.decode(bytes(r["geom_wkb"])) for _, r in polys_pd.iterrows()}
+    cents = {pid: kernels.centroid(g) for pid, g in geoms.items()}
+    exp_containers: dict[int, set[int]] = {}
+    for pid, (cx, cy) in cents.items():
+        exp_containers[pid] = {
+            cid for cid, g in geoms.items()
+            if kernels.points_in_geom(np.array([cx]), np.array([cy]), g)[0]
+        }
+    contained_by_others = {
+        cid for pid, cs in exp_containers.items() for cid in cs if cid != pid
+    }
+    assert len(rows) == len(geoms)
+    for pid, r in rows.items():
+        exp = exp_containers[pid]
+        assert r["nest_level"] == len(exp), (pid, r["name"])
+        assert set(r["osm_id_path"]) == exp, (pid, r["name"])
+        exp_inner = (r["osm_id_path"][-1] == pid) and (pid not in contained_by_others)
+        assert r["innermost"] == exp_inner, (pid, r["name"])
+    # structural spot checks: paths start at Country; states never innermost
+    nb = [r for r in rows.values() if r["osm_type"] == "neighbourhood"]
+    assert len(nb) == 256
+    assert all(r["name_path"][0].startswith("Country") for r in nb)
+    states = [r for r in rows.values() if r["name"].startswith("State")]
+    assert all(not r["innermost"] for r in states)
+    # dedup consequence: the 8 member suburbs are gone, so 30+ neighbourhoods
+    # lost their suburb container (nest_level 4) — engine must reflect that
+    assert sum(1 for r in nb if r["nest_level"] == 4) >= 30
+
+
+def test_knn_matches_brute_force(world, points, spark):
+    pts_df, pdf = points
+    feats = world["osm"].filter(F.col("geom_type") == "N").select("osm_id", "lon", "lat")
+    feats_pd = feats.toPandas()
+    got = knn_join(pts_df.limit(200), feats, k=3, res=9, ring=2).toPandas()
+    # brute force
+    f_lon = feats_pd["lon"].to_numpy()
+    f_lat = feats_pd["lat"].to_numpy()
+    fid = feats_pd["osm_id"].to_numpy()
+    sub = pdf.iloc[:200]
+    for _, p in sub.iterrows():
+        d = kernels.haversine_m(p["lon"], p["lat"], f_lon, f_lat)
+        order = np.lexsort((fid, d))[:3]
+        exp_ids = fid[order].tolist()
+        g = got[got["image_id"] == p["image_id"]].sort_values("knn_rank")
+        assert g["osm_id"].tolist() == exp_ids, p["image_id"]
+
+
+def test_tile_counts_total(points, spark):
+    pts_df, pdf = points
+    tc = tile_counts(pts_df, zoom=12).toPandas()
+    assert tc["n"].sum() == len(pdf)
+    assert (tc["z"] == 12).all()
+    # hot disc concentrates points: max tile count far above median
+    assert tc["n"].max() > 10 * tc["n"].median()
+
+
+def test_collapse_to_points(world, spark):
+    combined = world["tables"]["building_combined_point"]
+    out = collapse_to_points(combined)
+    assert out.filter(F.col("lon").isNull()).count() == 0 or out.count() == 0
+    polys = out.filter(F.col("geom_src") == "polygon")
+    if polys.count():
+        r = polys.limit(1).collect()[0]
+        assert fixtures.LON_MIN <= r["lon"] <= fixtures.LON_MAX
