@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, per the training-data-pipeline mandate:
+
+- :func:`cosine_topk` — brute-force baseline: broadcast the query side,
+  dot product with native ``zip_with``/``aggregate`` exprs (JVM-side),
+  window top-k. Exact; O(Q × N) but map-only over the corpus.
+- :func:`lsh_cosine_topk` — scale path: random-hyperplane LSH. Deterministic
+  hyperplanes (seeded), sign-bit signatures via one vectorized pandas UDF,
+  multi-table banding, exact cosine re-rank within buckets. Approximate:
+  recall depends on (planes_per_table, tables). Defaults (4 planes × 12
+  tables) measure ~0.85 top-5 recall on the near-uniform synthetic
+  embeddings; clustered real-world embeddings tolerate more planes (cheaper
+  buckets). Near-dup detection at high thresholds uses more planes — the
+  candidates there are near-identical and always collide.
+- :func:`cosine_near_dup_pairs` — embedding near-duplicate detection
+  (cos ≥ τ) via the same LSH buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+EPS = 1e-12
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v) + F.lit(EPS)
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """For each query vector: top-k corpus neighbors by cosine (excluding
+    self-matches on equal ids). Output: query_id, neighbor_id, rank.
+
+    Cosine values are computed in float64 but not emitted: cross-engine
+    float reproducibility of sums is not guaranteed, ranks are.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    ).withColumn("cnorm", norm_col(F.col("cvec")))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    ).withColumn("qnorm", norm_col(F.col("qvec")))
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
+    pairs = pairs.withColumn(
+        "cos", dot_col(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _planes(dim: int, planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((planes, dim))
+
+
+def make_bucket_udf(dim: int, planes_per_table: int, tables: int, seed: int = 42):
+    """pandas UDF: embedding → array of per-table bucket ids (sign bits)."""
+    mats = [
+        _planes(dim, planes_per_table, seed + 1000 * t) for t in range(tables)
+    ]
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        arr = np.stack(vecs.to_numpy())
+        out = []
+        sigs = []
+        for t, m in enumerate(mats):
+            bits = (arr @ m.T) > 0  # (n, planes)
+            vals = np.zeros(arr.shape[0], dtype=np.int64)
+            for j in range(planes_per_table):
+                vals |= bits[:, j].astype(np.int64) << j
+            sigs.append(vals + (t << 48))  # table id in high bits
+        stacked = np.stack(sigs, axis=1)
+        return pd.Series(list(stacked))
+
+    return bucket_udf
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    planes_per_table: int = 4,
+    tables: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates = bucket collisions in any table,
+    re-ranked by exact cosine."""
+    bucket_udf = make_bucket_udf(dim, planes_per_table, tables, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    ).withColumn("bkt", F.explode(bucket_udf(F.col("cvec"))))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    ).withColumn("bkt", F.explode(bucket_udf(F.col("qvec"))))
+    cands = (
+        c.join(F.broadcast(q), "bkt")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qvec", "neighbor_id", "cvec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cands = cands.withColumn(
+        "cos",
+        dot_col(F.col("cvec"), F.col("qvec")) / (norm_col(F.col("cvec")) * norm_col(F.col("qvec"))),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    dim: int,
+    planes_per_table: int = 12,
+    tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicates: pairs (a < b) with cosine ≥ threshold,
+    candidates from LSH bucket collisions."""
+    bucket_udf = make_bucket_udf(dim, planes_per_table, tables, seed)
+    v = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn("bkt", F.explode(bucket_udf(F.col("vec"))))
+    a = v.select(F.col("vid").alias("doc_a"), F.col("vec").alias("va"), "bkt")
+    b = v.select(F.col("vid").alias("doc_b"), F.col("vec").alias("vb"), "bkt")
+    cands = (
+        a.join(b, "bkt")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    cands = cands.withColumn(
+        "cos", dot_col(F.col("va"), F.col("vb")) / (norm_col(F.col("va")) * norm_col(F.col("vb")))
+    )
+    return cands.filter(F.col("cos") >= threshold).select("doc_a", "doc_b", "cos")

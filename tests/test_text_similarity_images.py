@@ -1,0 +1,141 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pgosm_flex_spark import fixtures
+from pgosm_flex_spark.images import codec, ops as img_ops
+from pgosm_flex_spark.similarity import ann
+from pgosm_flex_spark.text import analysis, dedup
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),
+    (2, "el rapido zorro marron salta sobre el perro"),
+    (3, "completely different content with unique words here"),
+    (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (5, "x"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(pd.DataFrame(DOCS, columns=["doc_id", "text"])).cache()
+
+
+def test_token_count_and_quality(docs):
+    out = analysis.analyze(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "n_tokens"] == 9
+    assert out.loc[5, "n_tokens"] == 1
+    # python oracle for stopword ratio of doc 0: the(2) of 9 tokens
+    assert out.loc[0, "stop_ratio"] == pytest.approx(2 / 9)
+    assert 0.0 <= out["quality"].min() and out["quality"].max() <= 1.0
+
+
+def test_langid(docs):
+    out = analysis.analyze(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "pred_lang"] == "en"
+    assert out.loc[2, "pred_lang"] == "es"
+    assert out.loc[3, "pred_lang"] == "und"
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["a b c", "c b a"]})
+    )
+    fps = analysis.analyze(df).toPandas()["fingerprint"]
+    assert fps[0] != fps[1]
+
+
+def test_exact_dedup(docs):
+    groups = dedup.exact_dedup(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["keep_id"] == 0 and groups[0]["n_dups"] == 2
+
+
+def test_jaccard_pairs_vs_python(docs):
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    # python oracle
+    sets = {i: set(t.split()) for i, t in DOCS}
+    for (a, b), j in got.items():
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        assert j == pytest.approx(inter / union), (a, b)
+    # dup pair and near-dup pair present with right values
+    assert got[(0, 4)] == pytest.approx(1.0)
+    assert got[(0, 1)] == pytest.approx(7 / 9)  # swap dog->cat: 7 shared of 9
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]) for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert (0, 4) in pairs  # exact dup always collides
+    assert (0, 1) in pairs  # high-jaccard near dup
+    assert all(a < b for a, b in pairs)
+
+
+def test_simhash_near_dup(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in dedup.simhash_pairs(docs, max_hamming=10).collect()}
+    assert pairs[(0, 4)] == 0  # identical text -> identical simhash
+    assert (0, 1) in pairs
+
+
+def test_cosine_topk_vs_numpy(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((40, 16)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(40), "embedding": list(vecs)})
+    df = spark.createDataFrame(pdf)
+    queries = df.filter(F.col("vec_id") < 5)
+    got = ann.cosine_topk(df, queries, k=3).toPandas()
+    normed = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    for q in range(5):
+        s = sims[q].copy()
+        s[q] = -np.inf
+        exp = np.argsort(-s, kind="stable")[:3].tolist()
+        g = got[got["query_id"] == q].sort_values("rank")["neighbor_id"].tolist()
+        assert g == exp, q
+
+
+def test_lsh_cosine_recall(spark):
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal((30, 16)).astype(np.float32)
+    # plant near-duplicates: vec 100+i ~ vec i
+    dups = base[:5] + rng.standard_normal((5, 16)).astype(np.float32) * 0.01
+    vecs = np.vstack([base, dups])
+    ids = list(range(30)) + list(range(100, 105))
+    df = spark.createDataFrame(pd.DataFrame({"vec_id": ids, "embedding": list(vecs)}))
+    pairs = ann.cosine_near_dup_pairs(df, threshold=0.99, dim=16).toPandas()
+    found = {(int(a), int(b)) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert {(i, 100 + i) for i in range(5)} <= found
+
+
+def test_image_decode_stats(spark):
+    imgs = fixtures.images_df(spark, 30, with_pixels=True)
+    stats = img_ops.decode_stats(imgs).toPandas()
+    assert stats["decode_ok"].all()
+    assert stats["phash_ok"].all()
+
+
+def test_image_resize_and_features(spark):
+    imgs = fixtures.images_df(spark, 12, with_pixels=True)
+    resized = img_ops.resize(imgs, 32, 32).toPandas()
+    assert (resized["w"] == 32).all() and (resized["h"] == 32).all()
+    arr = codec.decode(bytes(resized.iloc[0]["bytes"]))
+    assert arr.shape == (32, 32, 3)
+    feats = img_ops.extract_features(imgs).toPandas()
+    assert all(len(f) == 48 for f in feats["features"])
+    assert all(0.0 <= float(np.min(f)) and float(np.max(f)) <= 1.0 for f in feats["features"])
+
+
+def test_audio_video_stubs():
+    with pytest.raises(NotImplementedError):
+        img_ops.decode_audio(None)
+    with pytest.raises(NotImplementedError):
+        img_ops.sample_video_frames(None)
