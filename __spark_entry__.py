@@ -1,38 +1,683 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship spatial pipeline at sf0.001.
+``queries()`` / ``oracle_sql()`` implement the correctness harness: each
+engine query runs side-by-side with an ANSI-SQL DuckDB oracle over the same
+parquet tables (views: region nation customer supplier part orders lineitem
+events documents embeddings). Spatial inputs are derived deterministically
+from those tables with SQL snippets shared verbatim between both systems
+(pgosm_flex_spark/sources/testdata.py), so the engine exercises its real
+machinery (WKB polygons, quadtree cells, broadcast PIP join, kNN ring
+expansion) while the oracle reduces to rectangle arithmetic.
+
+Queries without an oracle entry (engine-specific hashing / image payloads)
+get the driver's rows-only check, as allowed for non-SQL-expressible ops.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from pgosm_flex_spark.functions import scalars as sc
+from pgosm_flex_spark.layers import build_layer_tables
+from pgosm_flex_spark.operators import knn_join, pip_join
+from pgosm_flex_spark.operators.nested import build_nested_admin_polygons
+from pgosm_flex_spark.operators.tiles import tile_counts
+from pgosm_flex_spark.similarity import ann
+from pgosm_flex_spark.sources import testdata as td
+from pgosm_flex_spark.text import analysis, dedup
+from pgosm_flex_spark.index import cells as cell_idx
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: derived image points PIP-joined through the full admin
+    hierarchy (country/strip/cell), grouped to the reference's golden-count
+    shape (tests/sql/place_polygon_osm_type_count.sql)."""
+    pts = td.derived_points(spark, SF0001)
+    world = td.admin_world(spark, SF0001)
+    pairs = pip_join(pts, world, point_cols=["event_id"])
+    attrs = world.select("osm_id", "osm_type", "admin_level")
+    return (
+        pairs.join(F.broadcast(attrs), "osm_id")
+        .groupBy("osm_type", "admin_level")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy("osm_type", "admin_level")
+    )
+
+
+# ---------------------------------------------------------------------------
+# spatial queries (engine machinery vs rectangle-arithmetic oracle)
+# ---------------------------------------------------------------------------
+
+def q_pip_city_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = td.derived_points(spark, sf_dir)
+    world = td.admin_world(spark, sf_dir)
+    cities = world.filter(F.col("osm_id") >= 100)
+    pairs = pip_join(pts, cities, point_cols=["event_id"])
+    return (
+        pairs.withColumn("city_key", (F.col("osm_id") - 100).cast("int"))
+        .groupBy("city_key")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy("city_key")
+    )
+
+
+def q_pip_admin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = td.derived_points(spark, sf_dir)
+    world = td.admin_world(spark, sf_dir)
+    pairs = pip_join(pts, world, point_cols=["event_id"])
+    attrs = world.select("osm_id", "admin_level")
+    return (
+        pairs.join(F.broadcast(attrs), "osm_id")
+        .groupBy("admin_level")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy("admin_level")
+    )
+
+
+def q_nested_admin_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    world = td.admin_world(spark, sf_dir)
+    nested = build_nested_admin_polygons(world)
+    return nested.select(
+        "osm_id",
+        F.col("nest_level").cast("long").alias("nest_level"),
+        F.array_join("name_path", "|").alias("path"),
+        "innermost",
+    ).orderBy("osm_id")
+
+
+def q_knn3_nearest_cities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = td.derived_points(spark, sf_dir).filter(F.col("event_id") % 37 == 0)
+    b = td.cell_bounds_sql("n_nationkey")
+    centers = td.load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("city_key"),
+        F.expr(f"(({b['x0']} + {b['x1']}) / 2)").alias("lon"),
+        F.expr(f"(({b['y0']} + {b['y1']}) / 2)").alias("lat"),
+    )
+    out = knn_join(
+        pts, centers, k=3, point_id="event_id", feature_id="city_key", res=12, ring=2
+    )
+    return out.select(
+        "event_id", F.col("knn_rank").cast("int").alias("knn_rank"),
+        F.col("city_key").cast("int").alias("city_key"),
+    ).orderBy("event_id", "knn_rank")
+
+
+def q_tile_counts_z12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = td.derived_points(spark, sf_dir)
+    return tile_counts(pts, zoom=12)
+
+
+def q_cell_counts_res12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = td.derived_points(spark, sf_dir)
+    return (
+        pts.select(cell_idx.cell_col(F.col("lon"), F.col("lat"), 12).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy("cell")
+    )
+
+
+# ---------------------------------------------------------------------------
+# tag→schema layer queries (layer registry vs CASE-arithmetic oracle)
+# ---------------------------------------------------------------------------
+
+def q_road_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    osm = td.derived_osm_objects(spark, sf_dir)
+    road_line = build_layer_tables(osm, layerset="everything")["road_line"]
+    return (
+        road_line.groupBy("osm_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("osm_type")
+    )
+
+
+def q_road_line_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's golden multi-FILTER aggregate
+    (/root/reference/tests/sql/road_line_aggregates.sql)."""
+    osm = td.derived_osm_objects(spark, sf_dir)
+    rl = build_layer_tables(osm, layerset="everything")["road_line"]
+    return rl.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.col("maxspeed")).alias("n_maxspeed"),
+        F.count(F.when(F.col("major"), 1)).alias("n_major"),
+        F.count(F.when(F.col("route_foot"), 1)).alias("n_route_foot"),
+        F.count(F.when(F.col("route_cycle"), 1)).alias("n_route_cycle"),
+        F.count(F.when(F.col("route_motor"), 1)).alias("n_route_motor"),
+    )
+
+
+def q_place_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    osm = td.derived_osm_objects(spark, sf_dir)
+    pl = build_layer_tables(osm, layerset="everything")["place_line"]
+    return pl.groupBy("osm_type").agg(F.count(F.lit(1)).alias("n")).orderBy("osm_type")
+
+
+def q_poi_type_subtype_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    osm = td.derived_osm_objects(spark, sf_dir)
+    poi = build_layer_tables(osm, layerset="everything")["poi_line"]
+    return (
+        poi.groupBy("osm_type", "osm_subtype")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("osm_type", "osm_subtype")
+    )
+
+
+def q_scalar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    osm = td.derived_osm_objects(spark, sf_dir).filter(F.col("osm_id") < 300)
+    t = F.col("tags")
+    return osm.select(
+        F.col("osm_id").alias("event_id"),
+        sc.get_name(t).alias("name"),
+        sc.parse_speed(sc.t(t, "maxspeed")).alias("maxspeed"),
+        sc.parse_to_meters(sc.t(t, "ele")).alias("ele_m"),
+        sc.get_address(t).alias("address"),
+        sc.routable_motor(t).alias("route_motor"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# relational queries (A2/A3/J2/J5/W2 analogs on the TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+def q_orders_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        td.load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderstatus")
+    )
+
+
+def q_top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = td.load(spark, sf_dir, "orders")
+    cust = td.load(spark, sf_dir, "customer")
+    rev = (
+        orders.withColumn("price_d", F.col("o_totalprice").cast("decimal(18,2)"))
+        .groupBy("o_custkey")
+        .agg(F.sum("price_d").alias("revenue"))
+    )
+    joined = rev.join(F.broadcast(cust), rev["o_custkey"] == cust["c_custkey"])
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "c_custkey", "c_name", F.col("revenue").cast("string").alias("revenue"))
+        .orderBy("rank")
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = td.load(spark, sf_dir, "orders")
+    cust = td.load(spark, sf_dir, "customer")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = td.load(spark, sf_dir, "lineitem")
+    disc = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("string").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("string").alias("sum_base_price"),
+            F.sum(disc).cast("string").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_user_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = td.load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("string").alias("total_value"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# documents / embeddings (training-data ops)
+# ---------------------------------------------------------------------------
+
+def _dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ copies of every 10th doc (guaranteed duplicates)."""
+    docs = td.load(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(copies)
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = td.load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        analysis.token_count(t).alias("n_tokens"),
+        F.length(t).alias("n_chars"),
+        F.round(analysis.stopword_ratio(t), 6).alias("stop_ratio"),
+        analysis.predict_lang(t).alias("pred_lang"),
+    ).orderBy("doc_id")
+
+
+def q_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = td.load(spark, sf_dir, "documents")
+    return (
+        docs.select(analysis.predict_lang(F.col("text")).alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("pred_lang")
+    )
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        dedup.exact_dedup(_dup_docs(spark, sf_dir))
+        .select("keep_id", "n_dups")
+        .orderBy("keep_id")
+    )
+
+
+def q_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = td.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    out = dedup.jaccard_pairs(docs, threshold=0.6)
+    return out.select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")
+
+
+def q_ann_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = td.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ann.cosine_topk(emb, queries, k=3).select(
+        "query_id", F.col("rank").cast("int").alias("rank"), "neighbor_id"
+    ).orderBy("query_id", "rank")
+
+
+# rows-only checks (engine-specific hashing / binary payloads)
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _dup_docs(spark, sf_dir).filter(
+        (F.col("doc_id") < 1000) | (F.col("doc_id") >= 1000000)
+    )
+    return dedup.minhash_lsh_pairs(docs, threshold=0.8).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _dup_docs(spark, sf_dir).filter(
+        (F.col("doc_id") < 1000) | (F.col("doc_id") >= 1000000)
+    )
+    return dedup.simhash_pairs(docs, max_hamming=3).orderBy("doc_a", "doc_b")
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = td.load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", analysis.fingerprint(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+def q_lsh_ann_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = td.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ann.lsh_cosine_topk(emb, queries, k=3, dim=64).select(
+        "query_id", F.col("rank").cast("int").alias("rank"), "neighbor_id"
+    ).orderBy("query_id", "rank")
+
+
+def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgosm_flex_spark import fixtures
+    from pgosm_flex_spark.images import ops as img_ops
+
+    imgs = fixtures.images_df(spark, 500, with_pixels=True)
+    stats = img_ops.decode_stats(imgs)
+    return stats.select(
+        "image_id", "w", "h", "fmt", F.round("mean_lum", 4).alias("mean_lum"),
+        "phash_ok", "decode_ok",
+    ).orderBy("image_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pip_city_counts": q_pip_city_counts,
+        "pip_admin_rollup": q_pip_admin_rollup,
+        "nested_admin_paths": q_nested_admin_paths,
+        "knn3_nearest_cities": q_knn3_nearest_cities,
+        "tile_counts_z12": q_tile_counts_z12,
+        "cell_counts_res12": q_cell_counts_res12,
+        "road_type_counts": q_road_type_counts,
+        "road_line_aggregates": q_road_line_aggregates,
+        "place_type_counts": q_place_type_counts,
+        "poi_type_subtype_counts": q_poi_type_subtype_counts,
+        "scalar_roundtrip": q_scalar_roundtrip,
+        "orders_status_counts": q_orders_status_counts,
+        "top_customers_by_revenue": q_top_customers_by_revenue,
+        "customers_without_orders": q_customers_without_orders,
+        "lineitem_pricing_summary": q_lineitem_pricing_summary,
+        "user_event_stats": q_user_event_stats,
+        "doc_token_stats": q_doc_token_stats,
+        "lang_counts": q_lang_counts,
+        "exact_dup_groups": q_exact_dup_groups,
+        "word_jaccard_pairs": q_word_jaccard_pairs,
+        "ann_top3": q_ann_top3,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "doc_fingerprints": q_doc_fingerprints,
+        "lsh_ann_top3": q_lsh_ann_top3,
+        "image_decode_stats": q_image_decode_stats,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+def _oracle_spatial() -> dict[str, str]:
+    plon, plat = td.POINT_LON_SQL, td.POINT_LAT_SQL
+    cb = td.cell_bounds_sql("n_nationkey")
+    sb = td.strip_bounds_sql("r_regionkey")
+    pts = f"SELECT event_id, {plon} AS lon, {plat} AS lat FROM events"
+    in_cell = (
+        f"p.lon > {cb['x0']} AND p.lon < {cb['x1']} AND "
+        f"p.lat > {cb['y0']} AND p.lat < {cb['y1']}"
+    )
+    in_strip = f"p.lon > {sb['x0']} AND p.lon < {sb['x1']}"
+
+    pip_city = f"""
+        WITH p AS ({pts})
+        SELECT CAST(n_nationkey AS INT) AS city_key, COUNT(*) AS n_points
+        FROM p, nation WHERE {in_cell}
+        GROUP BY 1 ORDER BY 1
     """
-    return {}
+    pip_rollup = f"""
+        WITH p AS ({pts}),
+        lvl2 AS (SELECT COUNT(*) AS n FROM p),
+        lvl4 AS (SELECT COUNT(*) AS n FROM p, region WHERE {in_strip}),
+        lvl8 AS (SELECT COUNT(*) AS n FROM p, nation WHERE {in_cell})
+        SELECT 2 AS admin_level, n AS n_points FROM lvl2
+        UNION ALL SELECT 4, n FROM lvl4
+        UNION ALL SELECT 8, n FROM lvl8
+        ORDER BY admin_level
+    """
+    nested = """
+        SELECT 1 AS osm_id, CAST(1 AS BIGINT) AS nest_level, 'World' AS path,
+               FALSE AS innermost
+        UNION ALL
+        SELECT 10 + r_regionkey, 2, 'World|' || r_name, FALSE FROM region
+        UNION ALL
+        SELECT 100 + n_nationkey, 3,
+               'World|' || r.r_name || '|' || n.n_name, TRUE
+        FROM nation n JOIN region r ON r.r_regionkey = n.n_nationkey % 5
+        ORDER BY osm_id
+    """
+    dist = td.haversine_sql("p.lon", "p.lat", "c.lon", "c.lat")
+    knn = f"""
+        WITH p AS ({pts}),
+        c AS (SELECT CAST(n_nationkey AS BIGINT) AS city_key,
+                     (({cb['x0']} + {cb['x1']}) / 2) AS lon,
+                     (({cb['y0']} + {cb['y1']}) / 2) AS lat
+              FROM nation),
+        ranked AS (
+            SELECT p.event_id, c.city_key,
+                   ROW_NUMBER() OVER (PARTITION BY p.event_id
+                       ORDER BY {dist} ASC, c.city_key ASC) AS knn_rank
+            FROM p, c WHERE p.event_id % 37 = 0)
+        SELECT event_id, CAST(knn_rank AS INT) AS knn_rank,
+               CAST(city_key AS INT) AS city_key
+        FROM ranked WHERE knn_rank <= 3 ORDER BY event_id, knn_rank
+    """
+    from pgosm_flex_spark.index.tiles import tile_x_sql, tile_y_sql
+
+    tiles12 = f"""
+        WITH p AS ({pts})
+        SELECT 12 AS z, {tile_x_sql('p.lon', 12)} AS x, {tile_y_sql('p.lat', 12)} AS y,
+               COUNT(*) AS n
+        FROM p GROUP BY 2, 3 ORDER BY z, x, y
+    """
+    cells9 = f"""
+        WITH p AS ({pts})
+        SELECT {td.cell_id_sql('p.lon', 'p.lat', 12)} AS cell, COUNT(*) AS n_points
+        FROM p GROUP BY 1 ORDER BY 1
+    """
+    return {
+        "pip_city_counts": pip_city,
+        "pip_admin_rollup": pip_rollup,
+        "nested_admin_paths": nested,
+        "knn3_nearest_cities": knn,
+        "tile_counts_z12": tiles12,
+        "cell_counts_res12": cells9,
+    }
+
+
+def _oracle_layers() -> dict[str, str]:
+    # tag families from td.CAPTION_SQL, reduced to CASE arithmetic.
+    # road rows exist when event_id % 8 in 0..6 (7 has no highway tag)
+    hw = """CASE CAST(event_id % 8 AS INT)
+        WHEN 0 THEN 'motorway' WHEN 1 THEN 'primary' WHEN 2 THEN 'residential'
+        WHEN 3 THEN 'footway' WHEN 4 THEN 'path' WHEN 5 THEN 'service'
+        WHEN 6 THEN 'cycleway' END"""
+    maxspeed = """CASE CAST(event_id % 5 AS INT)
+        WHEN 0 THEN 30.0 WHEN 1 THEN 88.0 WHEN 3 THEN 23.5 END"""
+    denied = "(event_id % 7 = 0 OR event_id % 7 = 1)"
+    road_counts = f"""
+        SELECT {hw} AS osm_type, COUNT(*) AS n FROM events
+        WHERE event_id % 8 <> 7 GROUP BY 1 ORDER BY 1
+    """
+    road_aggs = f"""
+        SELECT COUNT(*) AS n_total,
+            COUNT({maxspeed}) AS n_maxspeed,
+            COUNT(CASE WHEN event_id % 8 IN (0, 1) THEN 1 END) AS n_major,
+            COUNT(CASE WHEN NOT {denied} AND event_id % 8 IN (2, 3, 4, 5) THEN 1 END) AS n_route_foot,
+            COUNT(CASE WHEN NOT {denied} AND event_id % 8 IN (2, 4, 5, 6) THEN 1 END) AS n_route_cycle,
+            COUNT(CASE WHEN NOT {denied} AND event_id % 8 IN (0, 1, 2, 5) THEN 1 END) AS n_route_motor
+        FROM events WHERE event_id % 8 <> 7
+    """
+    place_counts = """
+        SELECT CASE CAST(event_id % 9 AS INT)
+                 WHEN 0 THEN 'city' WHEN 1 THEN 'suburb' ELSE 'boundary' END AS osm_type,
+               COUNT(*) AS n
+        FROM events WHERE event_id % 9 IN (0, 1, 2) GROUP BY 1 ORDER BY 1
+    """
+    # poi families (event_id % 11): 0 shop, 1 amenity=restaurant, 2 amenity=bench,
+    # 3 building=yes (needs name: event_id % 6 in 0..3), 4 tourism, 5 natural=peak,
+    # 6 natural=tree (rejected), 7 waterway (not poi), 8 landuse=cemetery
+    poi_counts = """
+        WITH poi AS (
+            SELECT CASE CAST(event_id % 11 AS INT)
+                     WHEN 0 THEN 'shop' WHEN 1 THEN 'amenity' WHEN 2 THEN 'amenity'
+                     WHEN 3 THEN 'building' WHEN 4 THEN 'tourism'
+                     WHEN 5 THEN 'natural' WHEN 8 THEN 'landuse' END AS osm_type,
+                   CASE CAST(event_id % 11 AS INT)
+                     WHEN 0 THEN 'deli' WHEN 1 THEN 'restaurant' WHEN 2 THEN 'bench'
+                     WHEN 3 THEN 'yes' WHEN 4 THEN 'hotel'
+                     WHEN 5 THEN 'peak' WHEN 8 THEN 'cemetery' END AS osm_subtype
+            FROM events
+            WHERE event_id % 11 IN (0, 1, 2, 4, 5, 8)
+               OR (event_id % 11 = 3 AND event_id % 6 IN (0, 1, 2, 3)))
+        SELECT osm_type, osm_subtype, COUNT(*) AS n FROM poi
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    scalar = """
+        SELECT event_id,
+            CASE CAST(event_id % 6 AS INT)
+              WHEN 0 THEN 'Main Street' WHEN 1 THEN 'East Road'
+              WHEN 2 THEN 'shortN' WHEN 3 THEN 'oldN' ELSE '' END AS name,
+            CAST(CASE CAST(event_id % 5 AS INT)
+              WHEN 0 THEN 30.0 WHEN 1 THEN 88.0 WHEN 3 THEN 23.5 END AS DOUBLE) AS maxspeed,
+            CAST(CASE WHEN event_id % 11 = 5 THEN 1955.0 END AS DOUBLE) AS ele_m,
+            CASE CAST(event_id % 13 AS INT)
+              WHEN 0 THEN '100 Main St, Washington'
+              WHEN 1 THEN 'DC, 20001' ELSE '' END AS address,
+            (NOT (event_id % 7 = 0 OR event_id % 7 = 1)
+             AND event_id % 8 IN (0, 1, 2, 5)) AS route_motor
+        FROM events WHERE event_id < 300 ORDER BY event_id
+    """
+    return {
+        "road_type_counts": road_counts,
+        "road_line_aggregates": road_aggs,
+        "place_type_counts": place_counts,
+        "poi_type_subtype_counts": poi_counts,
+        "scalar_roundtrip": scalar,
+    }
+
+
+def _oracle_relational() -> dict[str, str]:
+    return {
+        "orders_status_counts": """
+            SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "top_customers_by_revenue": """
+            WITH rev AS (
+                SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                FROM orders GROUP BY 1),
+            ranked AS (
+                SELECT c.c_custkey, c.c_name, rev.revenue,
+                       ROW_NUMBER() OVER (ORDER BY rev.revenue DESC, c.c_custkey ASC) AS rank
+                FROM rev JOIN customer c ON c.c_custkey = rev.o_custkey)
+            SELECT CAST(rank AS INT) AS rank, c_custkey, c_name,
+                   CAST(revenue AS VARCHAR) AS revenue
+            FROM ranked WHERE rank <= 10 ORDER BY rank
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            ORDER BY c_custkey
+        """,
+        "lineitem_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_base_price,
+                CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))) AS VARCHAR) AS sum_disc_price,
+                COUNT(*) AS count_order
+            FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "user_event_stats": """
+            SELECT user_id, COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS total_value,
+                COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+    }
+
+
+def _oracle_docs() -> dict[str, str]:
+    # whitespace tokens: split on single spaces, drop empties (mirrors the
+    # engine's split on / +/)
+    toks = "list_filter(string_split(trim(text), ' '), w -> w <> '')"
+    stop = "['the','a','of','and','to','in','is','it']"
+    stop_cnt = f"len(list_filter({toks}, w -> list_contains({stop}, lower(w))))"
+    occ = lambda w: (
+        f"CAST((length(' ' || lower(text) || ' ') - "
+        f"length(replace(' ' || lower(text) || ' ', ' {w} ', ' '))) / {len(w) + 1} AS INT)"
+    )
+    score = {
+        lang: " + ".join(occ(w) for w in words)
+        for lang, words in analysis.LANG_MARKERS.items()
+    }
+    pred_lang = f"""
+        CASE WHEN ({score['en']}) + ({score['es']}) + ({score['zh']}) = 0 THEN 'und'
+             WHEN ({score['es']}) > ({score['en']}) AND ({score['es']}) >= ({score['zh']}) THEN 'es'
+             WHEN ({score['zh']}) > ({score['en']}) AND ({score['zh']}) > ({score['es']}) THEN 'zh'
+             ELSE 'en' END
+    """
+    token_stats = f"""
+        SELECT doc_id, CAST(len({toks}) AS INT) AS n_tokens,
+               CAST(length(text) AS INT) AS n_chars,
+               ROUND(CASE WHEN len({toks}) > 0
+                     THEN CAST({stop_cnt} AS DOUBLE) / len({toks}) ELSE 0.0 END, 6) AS stop_ratio,
+               {pred_lang} AS pred_lang
+        FROM documents ORDER BY doc_id
+    """
+    lang_counts = f"""
+        SELECT {pred_lang} AS pred_lang, COUNT(*) AS n FROM documents
+        GROUP BY 1 ORDER BY 1
+    """
+    dupdocs = """
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+    """
+    exact_dups = f"""
+        WITH d AS ({dupdocs})
+        SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups FROM d
+        GROUP BY text HAVING COUNT(*) > 1 ORDER BY keep_id
+    """
+    jaccard = f"""
+        WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        w AS (SELECT doc_id, list_distinct({toks}) AS words FROM d),
+        e AS (SELECT doc_id, len(words) AS n, unnest(words) AS word FROM w),
+        shared AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+                   COUNT(*) AS s
+            FROM e a JOIN e b ON a.word = b.word AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4)
+        SELECT doc_a, doc_b,
+               ROUND(CAST(s AS DOUBLE) / (na + nb - s), 6) AS jaccard
+        FROM shared WHERE CAST(s AS DOUBLE) / (na + nb - s) >= 0.6
+        ORDER BY doc_a, doc_b
+    """
+    ann3 = """
+        WITH u AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings),
+        dots AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   SUM(a.v * b.v) AS dot
+            FROM u a JOIN u b ON a.i = b.i
+            WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id
+            GROUP BY 1, 2),
+        norms AS (
+            SELECT vec_id, SQRT(SUM(v * v) + 1e-12) AS nrm FROM u GROUP BY 1),
+        ranked AS (
+            SELECT d.query_id, d.neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY d.query_id
+                       ORDER BY d.dot / (nq.nrm * nn.nrm) DESC, d.neighbor_id ASC) AS rank
+            FROM dots d
+            JOIN norms nq ON nq.vec_id = d.query_id
+            JOIN norms nn ON nn.vec_id = d.neighbor_id)
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id
+        FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
+    """
+    return {
+        "doc_token_stats": token_stats,
+        "lang_counts": lang_counts,
+        "exact_dup_groups": exact_dups,
+        "word_jaccard_pairs": jaccard,
+        "ann_top3": ann3,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    out.update(_oracle_spatial())
+    out.update(_oracle_layers())
+    out.update(_oracle_relational())
+    out.update(_oracle_docs())
+    # intentionally absent (rows-only checks): minhash_pairs, simhash_pairs,
+    # doc_fingerprints (xxhash64/blake2b are engine-side hashes), lsh_ann_top3
+    # (approximate by design), image_decode_stats (binary payloads)
+    return out

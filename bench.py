@@ -1,0 +1,140 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric: spatial-join + tile-assignment throughput (images/sec) —
+the full flagship path (caption parse → tag map → cell index → broadcast PIP
+join into the admin hierarchy → rollup) over synthetic image points with the
+FIXTURES.md hot-cell skew (30% of points in one disc).
+
+Env:
+  SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1) — scale factor dir
+  SPARK_GRAFT_CPUS    (default 32)                  — local[k] parallelism
+  SPARK_GRAFT_BENCH_N (optional)                    — override image count
+
+Scaling evidence (north rule): run twice, e.g.
+  SPARK_GRAFT_CPUS=8 python bench.py
+  SPARK_GRAFT_CPUS=32 python bench.py
+and compare images/sec (tools/bench_scaling.py automates + computes
+efficiency).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pgosm_flex_spark import fixtures  # noqa: E402
+from pgosm_flex_spark.functions import tags as tagf  # noqa: E402
+from pgosm_flex_spark.layers import build_layer_tables  # noqa: E402
+from pgosm_flex_spark.operators import knn_join, pip_join, relation_member_dedup  # noqa: E402
+from pgosm_flex_spark.operators.pip_join import build_polygon_cover  # noqa: E402
+from pgosm_flex_spark.operators.tiles import tile_counts  # noqa: E402
+from pgosm_flex_spark.session import get_spark  # noqa: E402
+from pgosm_flex_spark.similarity import ann  # noqa: E402
+from pgosm_flex_spark.text import dedup  # noqa: E402
+from pgosm_flex_spark.images import ops as img_ops  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark("pgosm-flex-spark-bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    li_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    n_images = int(os.environ.get("SPARK_GRAFT_BENCH_N", li_rows))
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # ---- input: distributed synthetic image points (captions; hot-cell skew)
+    images = fixtures.images_df(spark, n_images, with_pixels=False)
+    pts = tagf.with_tags(images).select("image_id", "lon", "lat").persist()
+    timed("materialize_points", lambda: pts.count())
+
+    # warm up python UDF workers + arrow serializers so timed queries measure
+    # steady-state throughput, not process spawn
+    warm = fixtures.images_df(spark, 256, with_pixels=True)
+    img_ops.decode_stats(warm).count()
+
+    # ---- feature side: fixture admin hierarchy + streets
+    osm = fixtures.osm_objects_df(spark).persist()
+    tables = build_layer_tables(osm, layerset="everything")
+    place = relation_member_dedup(tables["place_polygon"]).persist()
+    place.count()
+    cover = build_polygon_cover(place.filter(F.col("geom_wkb").isNotNull())).persist()
+    timed("build_cover", lambda: cover.count())
+
+    # ---- headline: PIP join + rollup (flagship)
+    def run_pip():
+        pairs = pip_join(
+            pts,
+            place.filter(F.col("geom_wkb").isNotNull()),
+            point_cols=["image_id"],
+            cover=cover,
+        )
+        attrs = place.select("osm_id", "osm_type", "admin_level")
+        return (
+            pairs.join(F.broadcast(attrs), "osm_id")
+            .groupBy("osm_type", "admin_level")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .count()
+        )
+
+    timed("q_pip_join", run_pip)
+
+    # ---- tiles
+    timed("q_tiles_z12", lambda: tile_counts(pts, zoom=12).count())
+
+    # ---- kNN against street/poi features
+    feats = osm.filter(F.col("geom_type") == "N").select("osm_id", "lon", "lat")
+    timed(
+        "q_knn3",
+        lambda: knn_join(
+            pts, feats, k=3, res=12, ring=2, point_id="image_id"
+        ).count(),
+    )
+
+    # ---- text dedup + ANN on the real testdata tables
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed("q_minhash_dedup", lambda: dedup.minhash_lsh_pairs(docs, threshold=0.8).count())
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 100)
+    timed("q_ann_top5", lambda: ann.cosine_topk(emb, queries, k=5).count())
+
+    # ---- image decode path (bounded pixel volume)
+    n_decode = min(20000, n_images)
+    imgs_px = fixtures.images_df(spark, n_decode, with_pixels=True)
+    bad = timed(
+        "q_image_decode",
+        lambda: img_ops.decode_stats(imgs_px).filter(~F.col("phash_ok")).count(),
+    )
+    assert bad == 0, "phash verification failed in bench"
+
+    pip_throughput = round(n_images / timings["q_pip_join"], 1)
+    result = {
+        "metric": "spatial_join_tile_throughput",
+        "value": pip_throughput,
+        "unit": "images_per_sec",
+        "queries": timings,
+        "sf": sf,
+        "n_images": n_images,
+        "cpus": cpus,
+        "decode_images_per_sec": round(n_decode / timings["q_image_decode"], 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -72,6 +72,34 @@ def centroid_udf(geom_wkb: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"lon": lons, "lat": lats})
 
 
+_BBOX_TYPE = StructType(
+    [
+        StructField("xmin", DoubleType()),
+        StructField("ymin", DoubleType()),
+        StructField("xmax", DoubleType()),
+        StructField("ymax", DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_BBOX_TYPE)
+def bbox_udf(geom_wkb: pd.Series) -> pd.DataFrame:
+    """Geometry bounding box (the `&&` operand in PostGIS plans)."""
+    rows = []
+    cache: dict[bytes, tuple] = {}
+    for b in geom_wkb.tolist():
+        if b is None:
+            rows.append((None, None, None, None))
+            continue
+        key = bytes(b)
+        v = cache.get(key)
+        if v is None:
+            g = wkb_mod.decode(key)
+            v = cache[key] = g.bbox
+        rows.append(v)
+    return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
+
+
 @F.pandas_udf(DoubleType())
 def length_m_udf(geom_wkb: pd.Series) -> pd.Series:
     """ST_Length(geography) (/root/reference/db/deploy/routing_functions.sql:309)."""

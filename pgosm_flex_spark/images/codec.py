@@ -46,12 +46,12 @@ def encode(arr: np.ndarray, fmt: str, quality: int = 85) -> bytes:
         raise ValueError("expected (h, w, 3) uint8 array")
     h, w, _ = arr.shape
     if fmt == "png":
-        return _HDR.pack(_MAGIC_PNG, h, w, 0) + zlib.compress(arr.tobytes(), 6)
+        return _HDR.pack(_MAGIC_PNG, h, w, 0) + zlib.compress(arr.tobytes(), 2)
     if fmt == "jpeg":
         step = quality_to_step(quality)
         q = (arr.astype(np.uint16) // step) * step + step // 2
         q = np.minimum(q, 255).astype(np.uint8)
-        return _HDR.pack(_MAGIC_JPG, h, w, step) + zlib.compress(q.tobytes(), 6)
+        return _HDR.pack(_MAGIC_JPG, h, w, step) + zlib.compress(q.tobytes(), 2)
     raise ValueError(f"unsupported format {fmt!r}")
 
 

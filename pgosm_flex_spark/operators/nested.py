@@ -14,10 +14,11 @@ Re-expresses /root/reference/flex-config/sql/place_polygon_nested.sql:
 - ``innermost`` (lines 156-172): row_innermost AND the id appears in no
   *other* row's osm_id_path.
 
-Containment between polygons is evaluated at the child's centroid (the
-reference's ST_Within on full geometry agrees for properly nested admin
-hierarchies; partial-overlap edge cases are documented divergence —
-SURVEY.md §7.3). The reference's LIMIT-100 batched loop (lines 96-150) is
+Polygon-within-polygon is evaluated as (child centroid inside container) AND
+(child bbox ⊆ container bbox) — exact for strictly nested admin hierarchies
+and for any convex containers; it mirrors PostGIS's bbox-prefilter + exact
+plan shape. Divergence from full ST_Within is possible only for concave
+partial overlaps (documented, SURVEY.md §7.3). The reference's LIMIT-100 batched loop (lines 96-150) is
 unnecessary set-at-once in Spark; its restart property lives in
 plans/checkpoint.py instead. Path ties at equal admin_level are broken by
 (name, osm_id) for determinism (the reference leaves them unordered).
@@ -28,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pgosm_flex_spark.geometry.udfs import centroid_udf
+from pgosm_flex_spark.geometry.udfs import bbox_udf, centroid_udf
 from pgosm_flex_spark.operators.pip_join import pip_join
 
 _NESTED_OSM_TYPES = ["neighborhood", "city", "suburb", "town", "admin_level", "locality"]
@@ -60,29 +61,39 @@ def build_nested_admin_polygons(
         )
     )
 
-    # child representative points (centroids) — vectorized UDF, one pass
-    reps = polys.withColumn("__c", centroid_udf(F.col("geom_wkb"))).select(
+    # child representative points (centroids) + bboxes — vectorized UDFs
+    with_geo = polys.withColumn("__c", centroid_udf(F.col("geom_wkb"))).withColumn(
+        "__b", bbox_udf(F.col("geom_wkb"))
+    )
+    reps = with_geo.select(
         F.col(id_col).alias("child_id"),
         F.col("__c.lon").alias("lon"),
         F.col("__c.lat").alias("lat"),
+        F.col("__b").alias("child_bbox"),
     )
-    # containment pairs: child rep point within container polygon (a polygon
-    # contains its own centroid for convex admin cells → self included, as
-    # ST_Within(p, p) is true in the reference)
+    # candidate containment pairs: child centroid within container polygon
+    # (self included: ST_Within(p, p) is true in the reference); then refine
+    # with the bbox-containment condition
     pairs = pip_join(
         reps,
         polys,
-        point_cols=["child_id"],
+        point_cols=["child_id", "child_bbox"],
         poly_id=id_col,
         fine_res=fine_res,
     ).withColumnRenamed(id_col, "container_id")
 
-    containers = polys.select(
+    containers = with_geo.select(
         F.col(id_col).alias("container_id"),
         F.col("admin_level").alias("c_admin_level"),
         F.col("name").alias("c_name"),
+        F.col("__b").alias("container_bbox"),
     )
-    enriched = pairs.join(F.broadcast(containers), "container_id")
+    enriched = pairs.join(F.broadcast(containers), "container_id").filter(
+        (F.col("child_bbox.xmin") >= F.col("container_bbox.xmin"))
+        & (F.col("child_bbox.ymin") >= F.col("container_bbox.ymin"))
+        & (F.col("child_bbox.xmax") <= F.col("container_bbox.xmax"))
+        & (F.col("child_bbox.ymax") <= F.col("container_bbox.ymax"))
+    )
 
     # A1: ordered path arrays — order encoded in the struct sort key
     paths = enriched.groupBy("child_id").agg(

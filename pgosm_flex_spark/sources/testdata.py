@@ -1,0 +1,219 @@
+"""Deterministic geo/tag derivations over the driver's testdata tables.
+
+The correctness harness (__spark_entry__.py) runs every engine query
+side-by-side with an ANSI-SQL oracle in DuckDB over the same parquet files.
+Spatial inputs therefore have to be derivable *identically* in both systems:
+this module holds the shared SQL snippet for each derivation and builds the
+Spark side with ``F.expr(<same snippet>)`` — one source of truth, two
+executors. The engine path then runs the real machinery (WKB polygons, cell
+index, PIP join, kNN); the oracle reduces to pure arithmetic
+(rectangles → inequalities) that DuckDB can evaluate.
+
+World layout (all doubles, same IEEE ops both sides):
+
+- points: one per ``events`` row, uniform over the D.C.-sized test extent.
+- "city" cells: 5×5 grid from ``nation`` (25 rows), shrunk 0.002° inside
+  their strip so no point ever lies on a shared edge (PIP boundary ties are
+  undefined; SURVEY.md §7.3).
+- "state" strips: 5 vertical strips from ``region`` (admin_level 4).
+- "country": the whole extent (admin_level 2).
+
+Strict nesting cell ⊂ strip ⊂ country gives closed-form oracles for the
+nested-path operator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgosm_flex_spark.geometry import wkb
+
+LON0, LAT0 = -77.12, 38.79
+LON_SPAN, LAT_SPAN = 0.22, 0.21
+STRIP_W = LON_SPAN / 5  # 0.044
+CELL_H = LAT_SPAN / 5  # 0.042
+PAD = 0.002
+# Outward pads chosen so no derived point coordinate (which is always
+# LON0 + m/1e6*SPAN for integer m) can ever equal a polygon boundary:
+# PAD_S/SPAN*1e6 and PAD_C/SPAN*1e6 are non-integers, while cell pads
+# (PAD/SPAN*1e6 = 9090.90..) are non-integers too. Boundary-tie freedom
+# makes engine ST_Within and oracle strict inequalities agree exactly.
+PAD_S = 0.0005  # strip outward pad (x); strips overlap slightly — harmless
+PAD_C = 0.001  # country outward pad (x and y), also strips' y pad
+
+# ---------------------------------------------------------------------------
+# shared SQL snippets (valid in Spark SQL AND DuckDB)
+# ---------------------------------------------------------------------------
+
+POINT_LON_SQL = f"({LON0} + ((event_id * 2654435761) % 1000000) / 1000000.0 * {LON_SPAN})"
+POINT_LAT_SQL = f"({LAT0} + ((event_id * 40507) % 1000000) / 1000000.0 * {LAT_SPAN})"
+
+
+def cell_bounds_sql(key: str) -> dict[str, str]:
+    """City-cell rectangle bounds as SQL text in terms of integer column ``key``."""
+    return {
+        "x0": f"({LON0} + ({key} % 5) * {STRIP_W} + {PAD})",
+        "x1": f"({LON0} + ({key} % 5) * {STRIP_W} + {STRIP_W} - {PAD})",
+        "y0": f"({LAT0} + floor({key} / 5) * {CELL_H} + {PAD})",
+        "y1": f"({LAT0} + floor({key} / 5) * {CELL_H} + {CELL_H} - {PAD})",
+    }
+
+
+def strip_bounds_sql(key: str) -> dict[str, str]:
+    return {
+        "x0": f"({LON0} + {key} * {STRIP_W} - {PAD_S})",
+        "x1": f"({LON0} + ({key} + 1) * {STRIP_W} + {PAD_S})",
+        "y0": f"({LAT0} - {PAD_C})",
+        "y1": f"({LAT0 + LAT_SPAN} + {PAD_C})",
+    }
+
+
+def haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """Identical formula text to operators.knn.haversine_m_col."""
+    return (
+        f"(2.0 * 6371008.8 * asin(sqrt(least("
+        f"pow(sin(radians({lat2} - {lat1}) / 2), 2) + "
+        f"cos(radians({lat1})) * cos(radians({lat2})) * "
+        f"pow(sin(radians({lon2} - {lon1}) / 2), 2), 1.0))))"
+    )
+
+
+def cell_id_sql(lon: str, lat: str, res: int) -> str:
+    """Identical math to index.cells.cell_col, as portable SQL."""
+    n = float(1 << res)
+    nmax = (1 << res) - 1
+    lat_c = f"greatest(least({lat}, 85.05112878), -85.05112878)"
+    x = f"least(greatest(floor(({lon} + 180.0) / 360.0 * {n}), 0), {nmax})"
+    # asinh(z) spelled as ln(z + sqrt(z²+1)): DuckDB has no asinh builtin;
+    # Spark's ASINH evaluates the same identity, so doubles agree bitwise
+    asinh_z = "ln(tan(radians({c})) + sqrt(tan(radians({c})) * tan(radians({c})) + 1.0))".format(c=lat_c)
+    y = (
+        f"least(greatest(floor((0.5 - {asinh_z} / (2.0 * pi()))"
+        f" * {n}), 0), {nmax})"
+    )
+    return (
+        f"(cast({res} as bigint) * cast({1 << 58} as bigint)"
+        f" + cast({x} as bigint) * cast({1 << 29} as bigint)"
+        f" + cast({y} as bigint))"
+    )
+
+
+# caption derivation: OSM-ish tags from event rows, as a single SQL string.
+# Every branch family gets positives and negatives (FIXTURES.md F3).
+CAPTION_SQL = (
+    "concat("
+    f"'lon=', cast({POINT_LON_SQL} as string), ' lat=', cast({POINT_LAT_SQL} as string), "
+    "CASE cast(event_id % 8 as int) "
+    "  WHEN 0 THEN ' highway=motorway' WHEN 1 THEN ' highway=primary' "
+    "  WHEN 2 THEN ' highway=residential' WHEN 3 THEN ' highway=footway' "
+    "  WHEN 4 THEN ' highway=path' WHEN 5 THEN ' highway=service' "
+    "  WHEN 6 THEN ' highway=cycleway' ELSE '' END, "
+    "CASE cast(event_id % 5 as int) "
+    "  WHEN 0 THEN ' maxspeed=30' WHEN 1 THEN ' maxspeed=55%20mph' "
+    "  WHEN 2 THEN ' maxspeed=garbage' WHEN 3 THEN ' maxspeed=23.5' ELSE '' END, "
+    "CASE cast(event_id % 7 as int) "
+    "  WHEN 0 THEN ' access=no' WHEN 1 THEN ' access=private' "
+    "  WHEN 2 THEN ' access=yes' ELSE '' END, "
+    "CASE cast(event_id % 6 as int) "
+    "  WHEN 0 THEN ' name=Main%20Street' WHEN 1 THEN ' name:en=East%20Road' "
+    "  WHEN 2 THEN ' short_name=shortN' WHEN 3 THEN ' old_name=oldN' ELSE '' END, "
+    "CASE cast(event_id % 9 as int) "
+    "  WHEN 0 THEN ' place=city admin_level=8' WHEN 1 THEN ' place=suburb' "
+    "  WHEN 2 THEN ' boundary=administrative admin_level=4' ELSE '' END, "
+    "CASE cast(event_id % 11 as int) "
+    "  WHEN 0 THEN ' shop=deli' WHEN 1 THEN ' amenity=restaurant cuisine=pizza' "
+    "  WHEN 2 THEN ' amenity=bench' WHEN 3 THEN ' building=yes' "
+    "  WHEN 4 THEN ' tourism=hotel' WHEN 5 THEN ' natural=peak ele=1955%20m' "
+    "  WHEN 6 THEN ' natural=tree' WHEN 7 THEN ' waterway=river' "
+    "  WHEN 8 THEN ' landuse=cemetery' ELSE '' END, "
+    "CASE cast(event_id % 13 as int) "
+    "  WHEN 0 THEN ' addr:housenumber=100 addr:street=Main%20St addr:city=Washington' "
+    "  WHEN 1 THEN ' addr:postcode=20001 addr:state=DC' ELSE '' END"
+    ")"
+)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side builders
+# ---------------------------------------------------------------------------
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def derived_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → (event_id, lon, lat) via the shared SQL snippets."""
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr(POINT_LON_SQL).alias("lon"),
+        F.expr(POINT_LAT_SQL).alias("lat"),
+    )
+
+
+def derived_osm_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → osm-objects frame (caption-tagged way rows) for the layer
+    registry: the engine parses captions with the real machinery while the
+    oracle reproduces outcomes with CASE arithmetic."""
+    from pgosm_flex_spark.functions import tags as tagf
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("osm_id"), F.expr(CAPTION_SQL).alias("caption")
+    )
+    parsed = tagf.with_tags(ev)
+    return parsed.select(
+        "osm_id",
+        F.lit("W").alias("geom_type"),
+        F.lit(False).alias("is_closed"),
+        "tags",
+        "lon",
+        "lat",
+        F.lit(None).cast("binary").alias("geom_wkb"),
+        F.lit(None).cast("array<long>").alias("member_ids"),
+    )
+
+
+def _rect(x0: float, y0: float, x1: float, y1: float) -> bytes:
+    ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=np.float64)
+    return wkb.encode_polygon([ring])
+
+
+def admin_world(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """country + region strips + nation cells as a place_polygon-shaped frame.
+
+    Bounds computed with the same IEEE double arithmetic as the SQL snippets
+    (same operations in the same order), so engine WKB geometry and oracle
+    inequalities describe the same rectangles bit-for-bit.
+    """
+    nations = load(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect()
+    regions = load(spark, sf_dir, "region").select("r_regionkey", "r_name").collect()
+    rows = []
+    rows.append(
+        (1, "World", "boundary", "administrative", 2,
+         _rect(LON0 - PAD_C, LAT0 - PAD_C, LON0 + LON_SPAN + PAD_C, LAT0 + LAT_SPAN + PAD_C),
+         None)
+    )
+    for r in regions:
+        k = r["r_regionkey"]
+        x0 = LON0 + k * STRIP_W - PAD_S
+        x1 = LON0 + (k + 1) * STRIP_W + PAD_S
+        rows.append(
+            (10 + k, r["r_name"], "boundary", "administrative", 4,
+             _rect(x0, LAT0 - PAD_C, x1, LAT0 + LAT_SPAN + PAD_C), None)
+        )
+    for n in nations:
+        k = n["n_nationkey"]
+        x0 = LON0 + (k % 5) * STRIP_W + PAD
+        x1 = LON0 + (k % 5) * STRIP_W + STRIP_W - PAD
+        y0 = LAT0 + np.floor(k / 5) * CELL_H + PAD
+        y1 = LAT0 + np.floor(k / 5) * CELL_H + CELL_H - PAD
+        rows.append(
+            (100 + k, n["n_name"], "city", "administrative", 8,
+             _rect(x0, y0, x1, y1), None)
+        )
+    return spark.createDataFrame(
+        rows,
+        schema="osm_id long, name string, osm_type string, boundary string, "
+        "admin_level int, geom_wkb binary, member_ids array<long>",
+    )

@@ -1,0 +1,164 @@
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pgosm_flex_spark import fixtures
+from pgosm_flex_spark.plans import Checkpointer, ImportMode
+from pgosm_flex_spark.plans.checkpoint import checkpointed_pip_join
+from pgosm_flex_spark.layers import build_layer_tables
+from pgosm_flex_spark.operators import pip_join, relation_member_dedup
+from pgosm_flex_spark.streaming import incremental
+
+
+# ---------------------------------------------------------------------------
+# ImportMode truth table (reference: docker/tests/test_import_mode.py)
+# ---------------------------------------------------------------------------
+
+def test_import_mode_flags():
+    assert not ImportMode().slim_no_drop
+    assert ImportMode(replication=True).slim_no_drop
+    assert ImportMode(update="append").slim_no_drop
+    assert ImportMode().run_post_sql
+    assert not ImportMode(replication=True, replication_update=True).run_post_sql
+    assert not ImportMode(update="append").run_post_sql
+    with pytest.raises(ValueError):
+        ImportMode(update="bogus")
+    with pytest.raises(ValueError):
+        ImportMode(replication_update=True)
+
+
+def test_import_mode_okay_to_run():
+    m = ImportMode()
+    assert m.okay_to_run(None, "0.1.0")
+    assert m.okay_to_run({"engine_version": "0.1.0", "status": "completed"}, "0.1.0")
+    assert not m.okay_to_run({"engine_version": "0.2.0", "status": "completed"}, "0.1.0")
+    assert not m.okay_to_run({"engine_version": "0.1.0", "status": "running"}, "0.1.0")
+    assert ImportMode(force=True).okay_to_run({"engine_version": "9.9"}, "0.1.0")
+
+
+# ---------------------------------------------------------------------------
+# checkpointed join: resume skips completed units
+# ---------------------------------------------------------------------------
+
+def test_checkpointed_pip_join_resume(spark, tmp_path):
+    out = str(tmp_path / "pairs")
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": [f"i{i}" for i in range(500)],
+                "lon": [fixtures.point_lonlat(i)[0] for i in range(500)],
+                "lat": [fixtures.point_lonlat(i)[1] for i in range(500)],
+            }
+        )
+    )
+    osm = fixtures.osm_objects_df(spark)
+    polys = relation_member_dedup(build_layer_tables(osm)["place_polygon"]).filter(
+        F.col("geom_wkb").isNotNull()
+    ).persist()
+
+    r1 = checkpointed_pip_join(
+        spark, pts, polys, out, job_id="job1", point_cols=["image_id"]
+    )
+    assert r1 and not any(m.get("skipped") for m in r1.values())
+    total1 = spark.read.parquet(*glob.glob(f"{out}/unit=*")).count()
+
+    # oracle: plain pip_join
+    exp = pip_join(pts, polys, point_cols=["image_id"]).count()
+    assert total1 == exp
+
+    # resume: everything skipped, outputs unchanged
+    r2 = checkpointed_pip_join(
+        spark, pts, polys, out, job_id="job1", point_cols=["image_id"]
+    )
+    assert all(m.get("skipped") for m in r2.values())
+    assert spark.read.parquet(*glob.glob(f"{out}/unit=*")).count() == exp
+
+    # journal carries metrics
+    cp = Checkpointer(path=out, job_id="job1")
+    j = cp.read_journal(spark).collect()
+    assert all(json.loads(r["metrics"]).get("pairs") is not None for r in j)
+
+
+def test_checkpoint_partial_resume(spark, tmp_path):
+    """Simulate a killed job: journal says one unit done; only others run."""
+    out = str(tmp_path / "pairs2")
+    cp = Checkpointer(path=out, job_id="jobX")
+    cp.mark_completed(spark, "unitA", {"pairs": 1}, 0.0)
+    seen = []
+
+    def process(unit):
+        seen.append(unit)
+        return {"pairs": 0}
+
+    res = cp.run_units(spark, ["unitA", "unitB", "unitC"], process)
+    assert res["unitA"] == {"skipped": True}
+    assert seen == ["unitB", "unitC"]
+
+
+# ---------------------------------------------------------------------------
+# incremental refresh
+# ---------------------------------------------------------------------------
+
+def test_incremental_pip_refresh_matches_full(spark):
+    osm = fixtures.osm_objects_df(spark)
+    polys = relation_member_dedup(build_layer_tables(osm)["place_polygon"]).filter(
+        F.col("geom_wkb").isNotNull()
+    ).persist()
+
+    def pts_df(n, start=0):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "image_id": [f"i{i}" for i in range(start, start + n)],
+                    "lon": [fixtures.point_lonlat(i)[0] for i in range(start, start + n)],
+                    "lat": [fixtures.point_lonlat(i)[1] for i in range(start, start + n)],
+                }
+            )
+        )
+
+    base = pts_df(300)
+    prev_pairs = pip_join(base, polys, point_cols=["image_id"]).join(
+        base.select("image_id", "lon", "lat"), "image_id"
+    ).persist()
+
+    diff = pts_df(100, start=300)
+    all_pts = base.unionByName(diff)
+    refreshed = incremental.incremental_pip_refresh(
+        spark, all_pts, diff, polys, prev_pairs, point_cols=["image_id"]
+    )
+    full = pip_join(all_pts, polys, point_cols=["image_id"])
+    got = {(r["image_id"], r["osm_id"]) for r in refreshed.select("image_id", "osm_id").collect()}
+    exp = {(r["image_id"], r["osm_id"]) for r in full.collect()}
+    assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# structured streaming tile counts
+# ---------------------------------------------------------------------------
+
+def test_stream_tile_counts(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = []
+    for i in range(200):
+        lon, lat = fixtures.point_lonlat(i)
+        rows.append(
+            {"ts": f"2026-01-01T00:{i % 60:02d}:00.000Z", "lon": lon, "lat": lat,
+             "image_id": f"i{i}"}
+        )
+    with open(src / "batch1.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    q = incremental.stream_tile_counts(
+        spark, str(src), str(tmp_path / "ckpt"), str(tmp_path / "out"), zoom=12
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.agg(F.sum("n")).collect()[0][0] == 200
+    assert out.select("x", "y").distinct().count() >= 2
