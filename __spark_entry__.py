@@ -315,6 +315,62 @@ def q_ann_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+# ---------------------------------------------------------------------------
+# routing / lookup / QC
+# ---------------------------------------------------------------------------
+
+def q_routing_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Street grid (from supplier) → split edges with geodesic lengths and
+    lookup-defaulted travel-time costs (routing_functions.sql semantics)."""
+    from pgosm_flex_spark.operators.routing import build_routing_network
+    from pgosm_flex_spark.sources.lookup import pgosm_road
+
+    roads = td.street_ways(spark, sf_dir)
+    edges, _ = build_routing_network(roads, lookup=pgosm_road(spark))
+    return edges.select(
+        "osm_id",
+        "seq",
+        F.round("length_m", 3).alias("len_m"),
+        F.round("cost_seconds_forward", 2).alias("secs_fwd"),
+    ).orderBy("osm_id", "seq")
+
+
+def q_routing_vertex_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgosm_flex_spark.operators.routing import build_routing_network
+
+    roads = td.street_ways(spark, sf_dir)
+    _, vertices = build_routing_network(roads)
+    return (
+        vertices.groupBy("degree").agg(F.count(F.lit(1)).alias("n_vertices"))
+        .orderBy("degree")
+    )
+
+
+def q_pgosm_road_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The seeded lookup table (S6; golden count
+    /root/reference/tests/sql/pgosm_road_row_count.sql)."""
+    from pgosm_flex_spark.sources.lookup import pgosm_road
+
+    return pgosm_road(spark).orderBy("osm_type")
+
+
+def q_qc_features_not_in_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QC coverage anti-join (J3,
+    /root/reference/db/qc/features_not_in_run_all.sql): tags rows that landed
+    in no layer table."""
+    osm = td.derived_osm_objects(spark, sf_dir)
+    tables = build_layer_tables(osm, layerset="everything")
+    all_ids = None
+    for name, df in tables.items():
+        if name in ("tags", "unitable"):
+            continue
+        ids = df.select("osm_id")
+        all_ids = ids if all_ids is None else all_ids.unionByName(ids)
+    tags_rows = tables["tags"].select("osm_id")
+    missing = tags_rows.join(all_ids.distinct(), "osm_id", "left_anti")
+    return missing.select(F.col("osm_id").alias("event_id")).orderBy("event_id")
+
+
 # rows-only checks (engine-specific hashing / binary payloads)
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -383,6 +439,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "word_jaccard_pairs": q_word_jaccard_pairs,
         "ann_top3": q_ann_top3,
+        "routing_edges": q_routing_edges,
+        "routing_vertex_degrees": q_routing_vertex_degrees,
+        "pgosm_road_rows": q_pgosm_road_rows,
+        "qc_features_not_in_layers": q_qc_features_not_in_layers,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "doc_fingerprints": q_doc_fingerprints,
@@ -671,12 +731,106 @@ def _oracle_docs() -> dict[str, str]:
     }
 
 
+def _oracle_routing() -> dict[str, str]:
+    # street grid: H street k (s_suppkey 0..4) at
+    # y_k = LAT0 + (k+0.5)*CELL_H; V street k (keys 5..9) at
+    # x_k = LON0 + (k-5+0.5)*STRIP_W. Engine quantizes blade coords to 1e-7°
+    # — the oracle applies the same quantization to the crossing points.
+    g = td.street_crossing_sql()
+    q = "round(({v}) * 10000000) / 10000000.0"
+    hy = g["hy"]
+    vx = g["vx"]
+    lon0, lon1 = td.LON0, td.LON0 + td.LON_SPAN
+    lat0, lat1 = td.LAT0, td.LAT0 + td.LAT_SPAN
+    hav_h = td.haversine_sql("a.bx", "e.y", "b.bx", "e.y")
+    hav_v = td.haversine_sql("e.x", "a.by", "e.x", "b.by")
+    # lookup speeds: residential (H) 40.2336, primary (V) 96.56064
+    edges = f"""
+        WITH h AS (SELECT s_suppkey AS k FROM supplier WHERE s_suppkey < 5),
+        v AS (SELECT s_suppkey AS k FROM supplier WHERE s_suppkey BETWEEN 5 AND 9),
+        hb AS (
+            SELECT h.k, {q.format(v=vx.replace('(k)', '(v.k)'))} AS bx FROM h, v
+            UNION ALL SELECT k, {lon0} FROM h
+            UNION ALL SELECT k, {lon1} FROM h),
+        hseq AS (SELECT k, bx, ROW_NUMBER() OVER (PARTITION BY k ORDER BY bx) - 1 AS seq FROM hb),
+        he AS (SELECT a.k, a.seq, a.bx, b.bx AS bx1 FROM hseq a
+               JOIN hseq b ON b.k = a.k AND b.seq = a.seq + 1),
+        vb AS (
+            SELECT v.k, {q.format(v=hy.replace('(k)', '(h.k)'))} AS by FROM v, h
+            UNION ALL SELECT k, {lat0} FROM v
+            UNION ALL SELECT k, {lat1} FROM v),
+        vseq AS (SELECT k, by, ROW_NUMBER() OVER (PARTITION BY k ORDER BY by) - 1 AS seq FROM vb),
+        ve AS (SELECT a.k, a.seq, a.by, b.by AS by1 FROM vseq a
+               JOIN vseq b ON b.k = a.k AND b.seq = a.seq + 1),
+        lens AS (
+            SELECT k AS osm_id, CAST(seq AS INT) AS seq,
+                   {td.haversine_sql('bx', hy.replace('(k)', '(k)'), 'bx1', hy.replace('(k)', '(k)'))} AS len,
+                   40.2336 AS speed
+            FROM he
+            UNION ALL
+            SELECT k, CAST(seq AS INT),
+                   {td.haversine_sql(vx.replace('(k)', '(k)'), 'by', vx.replace('(k)', '(k)'), 'by1')},
+                   96.56064
+            FROM ve)
+        SELECT osm_id, seq, ROUND(len, 3) AS len_m,
+               ROUND(len * 3.6 / speed, 2) AS secs_fwd
+        FROM lens ORDER BY osm_id, seq
+    """
+    degrees = """
+        SELECT CAST(1 AS BIGINT) AS degree,
+               CAST(2 * (SELECT COUNT(*) FROM supplier WHERE s_suppkey < 10) AS BIGINT) AS n_vertices
+        UNION ALL
+        SELECT 4, CAST((SELECT COUNT(*) FROM supplier WHERE s_suppkey < 5)
+               * (SELECT COUNT(*) FROM supplier WHERE s_suppkey BETWEEN 5 AND 9) AS BIGINT)
+        ORDER BY degree
+    """
+    from pgosm_flex_spark.sources.lookup import ROADS_US
+
+    vals = ",\n".join(
+        f"('United States', '{t}', {m}, {ft}, {c}, {ms}, {tp})"
+        for t, m, ft, c, ms, tp in ROADS_US
+    )
+    road_rows = f"""
+        WITH r(region, osm_type, route_motor, route_foot, route_cycle,
+               maxspeed, traffic_penalty_normal) AS (VALUES {vals})
+        SELECT region, osm_type, route_motor, route_foot, route_cycle,
+               CAST(maxspeed AS DOUBLE) AS maxspeed,
+               CAST(traffic_penalty_normal AS DOUBLE) AS traffic_penalty_normal,
+               ROUND(CAST(maxspeed AS DOUBLE) / 1.609344, 2) AS maxspeed_mph
+        FROM r ORDER BY osm_type
+    """
+    # rows in no layer: no highway (id%8=7), no place family (id%9 not in
+    # 0..2), and either no poi/water/landuse key at all (id%11 in 9,10) or a
+    # building=yes OPEN way with no name (id%11=3, id%6 in 4,5): building
+    # tables take only nodes/closed ways, and poi rejects unnamed buildings.
+    # addr-only rows on open ways land nowhere either way (point/polygon-only
+    # tables), so %13 does not matter.
+    qc = """
+        SELECT event_id FROM events
+        WHERE event_id % 8 = 7 AND event_id % 9 NOT IN (0, 1, 2)
+          AND (
+            (event_id % 11 IN (9, 10)
+             -- fully tagless rows never enter the tags table at all
+             AND (event_id % 6 IN (0, 1, 2, 3) OR event_id % 5 IN (0, 1, 2, 3)
+                  OR event_id % 7 IN (0, 1, 2) OR event_id % 13 IN (0, 1)))
+            OR (event_id % 11 = 3 AND event_id % 6 IN (4, 5)))
+        ORDER BY event_id
+    """
+    return {
+        "routing_edges": edges,
+        "routing_vertex_degrees": degrees,
+        "pgosm_road_rows": road_rows,
+        "qc_features_not_in_layers": qc,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(_oracle_spatial())
     out.update(_oracle_layers())
     out.update(_oracle_relational())
     out.update(_oracle_docs())
+    out.update(_oracle_routing())
     # intentionally absent (rows-only checks): minhash_pairs, simhash_pairs,
     # doc_fingerprints (xxhash64/blake2b are engine-side hashes), lsh_ann_top3
     # (approximate by design), image_decode_stats (binary payloads)

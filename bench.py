@@ -97,12 +97,18 @@ def main() -> None:
     # ---- tiles
     timed("q_tiles_z12", lambda: tile_counts(pts, zoom=12).count())
 
-    # ---- kNN against street/poi features
-    feats = osm.filter(F.col("geom_type") == "N").select("osm_id", "lon", "lat")
+    # ---- kNN: adaptive multi-resolution (hot-cell skew: 30% of features in
+    # one disc); 20k synthetic feature points
+    from pgosm_flex_spark.operators.knn import knn_join_adaptive
+
+    feats = (
+        tagf.with_tags(fixtures.images_df(spark, 20000, with_pixels=False))
+        .select(F.col("image_id").alias("feat_id"), "lon", "lat")
+    )
     timed(
-        "q_knn3",
-        lambda: knn_join(
-            pts, feats, k=3, res=12, ring=2, point_id="image_id"
+        "q_knn3_adaptive",
+        lambda: knn_join_adaptive(
+            pts, feats, k=3, point_id="image_id", feature_id="feat_id"
         ).count(),
     )
 

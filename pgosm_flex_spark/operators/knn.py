@@ -36,6 +36,147 @@ def haversine_m_col(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> C
     return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(F.least(h, F.lit(1.0))))
 
 
+def topk_per_point(
+    cand: DataFrame,
+    pid_col: str,
+    dist_col: str,
+    fid_col: str,
+    k: int,
+) -> DataFrame:
+    """Bounded top-k per point WITHOUT shuffling the candidate set.
+
+    Ring-join candidates of one point are colocated (the point side expands
+    via explode + broadcast join, staying in its partition), so a
+    ``row_number`` window's hash shuffle of the full candidate set is wasted
+    work. Instead: partition-local sort by (pid, dist, fid), then a streaming
+    rank in mapInPandas that carries the last group's count across Arrow
+    batch boundaries. Output adds ``knn_rank`` (1-based) and keeps ≤k rows
+    per point.
+    """
+    cols = cand.columns
+    sorted_df = cand.sortWithinPartitions(pid_col, dist_col, fid_col)
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in cand.schema.fields)
+    schema += ", knn_rank int"
+
+    def stream(batches):
+        carry_pid = None
+        carry_n = 0
+        for b in batches:
+            if len(b) == 0:
+                continue
+            ranks = b.groupby(pid_col, sort=False).cumcount().to_numpy()
+            if carry_pid is not None:
+                first = b[pid_col].to_numpy()
+                mask = first == carry_pid
+                # contiguous prefix belonging to the carried-over point
+                prefix = int(mask.argmin()) if not mask.all() else len(b)
+                ranks[:prefix] += carry_n
+            last_pid = b[pid_col].iloc[-1]
+            carry_n = int((b[pid_col] == last_pid).sum()) + (
+                carry_n if carry_pid == last_pid else 0
+            )
+            # recompute precisely: rank of last row + 1 is the count so far
+            carry_n = int(ranks[-1]) + 1
+            carry_pid = last_pid
+            keep = ranks < k
+            out = b.loc[keep].copy()
+            out["knn_rank"] = (ranks[keep] + 1).astype("int32")
+            yield out
+
+    return sorted_df.mapInPandas(stream, schema=schema)
+
+
+def knn_join_adaptive(
+    points: DataFrame,
+    features: DataFrame,
+    k: int,
+    point_id: str = "image_id",
+    feature_id: str = "osm_id",
+    res_levels: tuple[int, ...] = (19, 16, 13, 10),
+    lon: str = "lon",
+    lat: str = "lat",
+    f_lon: str = "lon",
+    f_lat: str = "lat",
+) -> DataFrame:
+    """Exact kNN that adapts cell resolution to local feature density — the
+    skew answer for dense urban cells (SURVEY.md §7.3): a hot disc holding
+    30% of all features would make a single-resolution ring join explode;
+    here dense points resolve at fine resolutions with tiny rings while
+    sparse points escalate to coarser cells.
+
+    Correctness invariant per pass (ring=1 at resolution r): a point's
+    result is accepted only if it found ≥k candidates AND its k-th candidate
+    distance ≤ the guaranteed covered radius (one full cell width in the
+    worst case — the 3×3 block always extends at least one cell beyond the
+    point's own cell). Otherwise the point escalates to the next coarser
+    level; the final level accepts unconditionally (callers size the
+    coarsest level to cover the domain).
+    """
+    feats = features.select(
+        F.col(feature_id).alias("__fid"),
+        F.col(f_lon).alias("__flon"),
+        F.col(f_lat).alias("__flat"),
+    ).persist()
+
+    remaining = points.select(
+        F.col(point_id).alias("__pid"),
+        F.col(lon).alias("__plon"),
+        F.col(lat).alias("__plat"),
+    )
+    resolved_parts: list[DataFrame] = []
+    for level_i, res in enumerate(res_levels):
+        is_last = level_i == len(res_levels) - 1
+        fcell = feats.withColumn(
+            "__fcell", cells.cell_col(F.col("__flon"), F.col("__flat"), res)
+        )
+        pts = remaining.withColumn(
+            "__pcell", cells.cell_col(F.col("__plon"), F.col("__plat"), res)
+        )
+        ringed = pts.withColumn(
+            "__cell", F.explode(cells.kring_col(F.col("__pcell"), 1, res))
+        )
+        cand = ringed.join(F.broadcast(fcell), ringed["__cell"] == fcell["__fcell"])
+        cand = cand.withColumn(
+            "__dist",
+            haversine_m_col(F.col("__plon"), F.col("__plat"), F.col("__flon"), F.col("__flat")),
+        ).select("__pid", "__plon", "__plat", "__fid", "__dist")
+        topk = topk_per_point(cand, "__pid", "__dist", "__fid", k).persist()
+        per_point = topk.groupBy("__pid", "__plon", "__plat").agg(
+            F.count(F.lit(1)).alias("__n"), F.max("__dist").alias("__kth")
+        )
+        if is_last:
+            ok_ids = per_point.select("__pid")
+        else:
+            # guaranteed covered radius: one cell width in meters at this
+            # latitude (conservative: min of x/y extents of the mercator cell)
+            cell_deg = 360.0 / (1 << res)
+            guaranteed_m = (
+                F.lit(cell_deg)
+                * F.lit(111_319.49)
+                * F.cos(F.radians(F.col("__plat")))
+                * F.lit(0.95)
+            )
+            ok_ids = per_point.filter(
+                (F.col("__n") >= k) & (F.col("__kth") <= guaranteed_m)
+            ).select("__pid")
+        resolved_parts.append(
+            topk.join(F.broadcast(ok_ids), "__pid").select(
+                F.col("__pid").alias(point_id),
+                F.col("__fid").alias(feature_id),
+                F.col("__dist").alias("distance_m"),
+                "knn_rank",
+            )
+        )
+        if is_last:
+            break
+        remaining = remaining.join(F.broadcast(ok_ids), "__pid", "left_anti")
+
+    out = resolved_parts[0]
+    for p in resolved_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def knn_join(
     points: DataFrame,
     features: DataFrame,

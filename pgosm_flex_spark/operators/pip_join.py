@@ -39,9 +39,9 @@ from pgosm_flex_spark.geometry import kernels, wkb as wkb_mod
 from pgosm_flex_spark.geometry.udfs import pip_udf
 from pgosm_flex_spark.index import cells
 
-DEFAULT_FINE_RES = 15
+DEFAULT_FINE_RES = 17
 DEFAULT_COARSE_RES = 7
-DEFAULT_MAX_CELLS = 256
+DEFAULT_MAX_CELLS = 1024
 
 
 def _pick_res(bbox: tuple[float, float, float, float], fine: int, coarse: int, max_cells: int) -> int:

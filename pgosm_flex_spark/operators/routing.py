@@ -1,0 +1,364 @@
+"""Routing-network construction — SURVEY.md J4/J6/A4/A5/W1, re-expressing
+/root/reference/db/deploy/routing_functions.sql:50-404 as DataFrame ops:
+
+1. clean lines (UNION distinct of routable sources, multiline explode —
+   ST_LineMerge/ST_Dump, sql:63-84)
+2. candidate pairs via the cell index (the reference's bbox `&&` prefilter +
+   same-layer condition, sql:120-158), exact segment intersections in a
+   vectorized pandas UDF (ST_Intersection blade points, sql:149; collinear
+   overlaps skipped per the ST_Relate guard, sql:196)
+3. replicated-join dedup: a pair can meet in several shared cells — an
+   intersection point is kept only by the cell that contains it (standard
+   dedup for spatial joins with replication)
+4. split edges at blade points (ST_Split + ST_Dump, sql:195); blades at an
+   edge's endpoints are no-ops; unsplit edges pass through (the LEFT JOIN /
+   IS NULL union, sql:211-236)
+5. vertices from quantized endpoints (pgr_extractVertices, sql:359-395):
+   vertex id = content hash of the quantized coordinate — deterministic
+   without the reference's global ROW_NUMBER() OVER (ORDER BY geom)
+   (sql:86-94), which would be a single-partition sort at scale
+6. costs: geodesic length (ST_Length::geography, sql:309), directed
+   forward/reverse by oneway, travel-time seconds from maxspeed with the
+   pgosm.road lookup as a broadcast join (sql:304-336)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pgosm_flex_spark.geometry import kernels, wkb as wkb_mod
+from pgosm_flex_spark.index import cells
+
+QUANT = 1e7  # vertex coordinate quantization (~1 cm)
+DEFAULT_RES = 12
+
+
+def _line_cells(geom: wkb_mod.Geom, res: int) -> np.ndarray:
+    cid, _ = kernels.covering_cells(geom, res)
+    return cid
+
+
+def explode_lines(roads: DataFrame, id_col: str = "osm_id", wkb_col: str = "geom_wkb") -> DataFrame:
+    """ST_Dump of (multi)linestrings → one single-part line per row with a
+    part index; drops empty/degenerate parts (sql:63-84)."""
+    schema = f"{id_col} long, part int, geom_wkb binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, parts, wkbs = [], [], []
+            for rid, raw in zip(b[id_col].tolist(), b[wkb_col].tolist()):
+                if raw is None:
+                    continue
+                g = wkb_mod.decode(bytes(raw))
+                if g.kind == wkb_mod.LINESTRING:
+                    part_arrays = [g.rings[0]]
+                elif g.kind == wkb_mod.MULTILINESTRING:
+                    part_arrays = g.rings
+                else:
+                    continue
+                for p_i, arr in enumerate(part_arrays):
+                    if arr.shape[0] < 2:
+                        continue
+                    ids.append(rid)
+                    parts.append(p_i)
+                    wkbs.append(wkb_mod.encode_linestring(arr))
+            yield pd.DataFrame({id_col: ids, "part": parts, "geom_wkb": wkbs})
+
+    return roads.select(id_col, wkb_col).mapInPandas(run, schema=schema)
+
+
+def _intersections_of_pair(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    pts, _ = kernels.segment_pair_intersections(a[:-1], a[1:], b[:-1], b[1:])
+    if pts.shape[0] == 0:
+        return pts
+    return np.unique(np.round(pts * QUANT).astype(np.int64), axis=0) / QUANT
+
+
+def edge_intersection_blades(
+    lines: DataFrame,
+    id_col: str = "edge_id",
+    layer_col: str | None = "layer",
+    res: int = DEFAULT_RES,
+) -> DataFrame:
+    """(edge_id, blade_x, blade_y) — exact crossing points between distinct
+    edges sharing a cell (+ same layer, sql:129-137). Both edges of a pair
+    receive the blade."""
+    covschema = f"{id_col} long, cell long, geom_wkb binary" + (
+        f", {layer_col} int" if layer_col else ""
+    )
+
+    def cov(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {id_col: [], "cell": [], "geom_wkb": []}
+            if layer_col:
+                out[layer_col] = []
+            for row in b.itertuples(index=False):
+                raw = bytes(getattr(row, "geom_wkb"))
+                g = wkb_mod.decode(raw)
+                for c in _line_cells(g, res).tolist():
+                    out[id_col].append(getattr(row, id_col))
+                    out["cell"].append(c)
+                    out["geom_wkb"].append(raw)
+                    if layer_col:
+                        out[layer_col].append(getattr(row, layer_col))
+            yield pd.DataFrame(out)
+
+    sel = [id_col, "geom_wkb"] + ([layer_col] if layer_col else [])
+    covered = lines.select(*sel).mapInPandas(cov, schema=covschema)
+
+    a = covered.select(
+        F.col(id_col).alias("id_a"), F.col("cell"),
+        F.col("geom_wkb").alias("wkb_a"),
+        *( [F.col(layer_col).alias("layer_a")] if layer_col else [] ),
+    )
+    b = covered.select(
+        F.col(id_col).alias("id_b"), F.col("cell"),
+        F.col("geom_wkb").alias("wkb_b"),
+        *( [F.col(layer_col).alias("layer_b")] if layer_col else [] ),
+    )
+    pairs = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
+    if layer_col:
+        pairs = pairs.filter(
+            F.coalesce(F.col("layer_a"), F.lit(0)) == F.coalesce(F.col("layer_b"), F.lit(0))
+        )
+
+    out_schema = "edge_id long, blade_x double, blade_y double"
+
+    def cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for bdf in batches:
+            ids, xs, ys = [], [], []
+            for row in bdf.itertuples(index=False):
+                ga = wkb_mod.decode(bytes(row.wkb_a)).rings[0]
+                gb = wkb_mod.decode(bytes(row.wkb_b)).rings[0]
+                pts = _intersections_of_pair(ga, gb)
+                if pts.shape[0] == 0:
+                    continue
+                # replicated-join dedup: keep only points whose cell is the
+                # join cell
+                pc = cells.cells_of_points(pts[:, 0], pts[:, 1], res)
+                pts = pts[pc == row.cell]
+                for x, y in pts:
+                    for eid in (row.id_a, row.id_b):
+                        ids.append(eid)
+                        xs.append(float(x))
+                        ys.append(float(y))
+            yield pd.DataFrame({"edge_id": ids, "blade_x": xs, "blade_y": ys})
+
+    return pairs.mapInPandas(cut, schema=out_schema).dropDuplicates(
+        ["edge_id", "blade_x", "blade_y"]
+    )
+
+
+def split_edges_at_blades(
+    lines: DataFrame,
+    blades: DataFrame,
+    id_col: str = "edge_id",
+) -> DataFrame:
+    """ST_Split analog: cut each line at its blade points; blades at
+    endpoints are no-ops; lines with no blades pass through unchanged
+    (sql:195-236). Output: (edge_id, seq, geom_wkb), seq ordered along the
+    original line direction."""
+    with_blades = (
+        lines.select(id_col, "geom_wkb")
+        .join(
+            blades.groupBy(id_col).agg(
+                F.collect_list(F.struct("blade_x", "blade_y")).alias("blades")
+            ),
+            id_col,
+            "left",
+        )
+    )
+    schema = f"{id_col} long, seq int, geom_wkb binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, seqs, wkbs = [], [], []
+            for row in b.itertuples(index=False):
+                arr = wkb_mod.decode(bytes(row.geom_wkb)).rings[0]
+                blade_rows = row.blades
+                if blade_rows is None or (
+                    isinstance(blade_rows, float) and pd.isna(blade_rows)
+                ) or len(blade_rows) == 0:
+                    pieces = [arr]
+                else:
+                    bx = np.array([p["blade_x"] for p in blade_rows])
+                    by = np.array([p["blade_y"] for p in blade_rows])
+                    pieces = _split_polyline(arr, bx, by)
+                for s, piece in enumerate(pieces):
+                    ids.append(getattr(row, id_col))
+                    seqs.append(s)
+                    wkbs.append(wkb_mod.encode_linestring(piece))
+            yield pd.DataFrame({id_col: ids, "seq": seqs, "geom_wkb": wkbs})
+
+    return with_blades.mapInPandas(run, schema=schema)
+
+
+def _split_polyline(arr: np.ndarray, bx: np.ndarray, by: np.ndarray) -> list[np.ndarray]:
+    """Split a polyline at blade points lying on it (within tolerance)."""
+    seg = arr[1:] - arr[:-1]
+    seg_len = np.hypot(seg[:, 0], seg[:, 1])
+    cum = np.concatenate([[0.0], np.cumsum(seg_len)])
+    total = cum[-1]
+    params = []
+    for x, y in zip(bx, by):
+        d = np.array([x, y]) - arr[:-1]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (d[:, 0] * seg[:, 0] + d[:, 1] * seg[:, 1]) / (seg_len**2)
+        t = np.clip(t, 0.0, 1.0)
+        proj = arr[:-1] + t[:, None] * seg
+        dist = np.hypot(proj[:, 0] - x, proj[:, 1] - y)
+        k = int(np.argmin(dist))
+        if dist[k] > 1e-9:
+            continue  # blade not on this line
+        s = cum[k] + t[k] * seg_len[k]
+        if s <= 1e-12 or s >= total - 1e-12:
+            continue  # endpoint blade is a no-op
+        params.append(s)
+    if not params:
+        return [arr]
+    params = sorted(set(params))
+    pieces = []
+    prev = 0.0
+    for s in params + [total]:
+        piece = _substring(arr, cum, seg, seg_len, prev, s)
+        if piece.shape[0] >= 2:
+            pieces.append(piece)
+        prev = s
+    return pieces
+
+
+def _substring(arr, cum, seg, seg_len, s0, s1) -> np.ndarray:
+    def point_at(s):
+        k = int(np.searchsorted(cum, s, side="right") - 1)
+        k = min(max(k, 0), len(seg_len) - 1)
+        t = 0.0 if seg_len[k] == 0 else (s - cum[k]) / seg_len[k]
+        return arr[k] + t * seg[k]
+
+    inner = [i for i in range(len(arr)) if s0 + 1e-12 < cum[min(i, len(cum) - 1)] < s1 - 1e-12]
+    coords = [point_at(s0)] + [arr[i] for i in inner] + [point_at(s1)]
+    out = np.array(coords)
+    keep = np.ones(len(out), dtype=bool)
+    keep[1:] = np.hypot(*(out[1:] - out[:-1]).T) > 1e-12
+    return out[keep]
+
+
+def build_routing_network(
+    roads: DataFrame,
+    lookup: DataFrame | None = None,
+    id_col: str = "osm_id",
+    res: int = DEFAULT_RES,
+) -> tuple[DataFrame, DataFrame]:
+    """roads (road_line schema) → (edges, vertices).
+
+    edges: edge_id, osm_id, seq, geom_wkb, source_vertex, target_vertex,
+    length_m, cost_length_forward/reverse, maxspeed_final,
+    cost_seconds_forward/reverse.
+    vertices: vertex_id, lon, lat, degree.
+    """
+    from pgosm_flex_spark.functions.scalars import kmh_to_seconds_per_meter
+    from pgosm_flex_spark.geometry.udfs import length_m_udf
+
+    parts = explode_lines(roads, id_col=id_col)
+    base = parts.withColumn(
+        "edge_base_id", F.xxhash64(F.col(id_col), F.col("part"))
+    )
+    lines = base.select(F.col("edge_base_id").alias("edge_id"), "geom_wkb", id_col)
+
+    blades = edge_intersection_blades(
+        lines.join(
+            roads.select(id_col, F.col("layer")), id_col, "left"
+        ).select("edge_id", "geom_wkb", "layer"),
+        id_col="edge_id",
+        layer_col="layer",
+        res=res,
+    )
+    split = split_edges_at_blades(lines, blades, id_col="edge_id")
+    edges = split.join(
+        lines.select(F.col("edge_id"), F.col(id_col)), "edge_id"
+    ).withColumn("final_edge_id", F.xxhash64(F.col("edge_id"), F.col("seq")))
+
+    # endpoints (precomputed columns instead of an expensive join, sql:86-91)
+    ep_schema = "final_edge_id long, sx long, sy long, ex long, ey long"
+
+    def endpoints(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for row in b.itertuples(index=False):
+                arr = wkb_mod.decode(bytes(row.geom_wkb)).rings[0]
+                rows.append(
+                    (
+                        row.final_edge_id,
+                        int(round(arr[0, 0] * QUANT)), int(round(arr[0, 1] * QUANT)),
+                        int(round(arr[-1, 0] * QUANT)), int(round(arr[-1, 1] * QUANT)),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["final_edge_id", "sx", "sy", "ex", "ey"])
+
+    eps = edges.select("final_edge_id", "geom_wkb").mapInPandas(endpoints, schema=ep_schema)
+    edges = edges.join(eps, "final_edge_id")
+    edges = edges.withColumn("source_vertex", F.xxhash64("sx", "sy")).withColumn(
+        "target_vertex", F.xxhash64("ex", "ey")
+    )
+
+    # vertices with degree (pgr_extractVertices analog, sql:359-395)
+    vs = edges.select(
+        F.col("source_vertex").alias("vertex_id"),
+        (F.col("sx") / QUANT).alias("lon"), (F.col("sy") / QUANT).alias("lat"),
+    ).unionByName(
+        edges.select(
+            F.col("target_vertex").alias("vertex_id"),
+            (F.col("ex") / QUANT).alias("lon"), (F.col("ey") / QUANT).alias("lat"),
+        )
+    )
+    vertices = vs.groupBy("vertex_id", "lon", "lat").agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+
+    # costs (sql:281-336, 482-493)
+    edges = edges.withColumn("length_m", length_m_udf(F.col("geom_wkb")))
+    attrs = roads.select(
+        id_col,
+        F.col("oneway"),
+        F.col("maxspeed"),
+        F.col("osm_type"),
+    )
+    edges = edges.join(F.broadcast(attrs), id_col, "left")
+    if lookup is not None:
+        lk = lookup.select(
+            F.col("osm_type"),
+            F.col("maxspeed").alias("default_maxspeed"),
+        )
+        edges = edges.join(F.broadcast(lk), "osm_type", "left")
+        edges = edges.withColumn(
+            "maxspeed_final", F.coalesce("maxspeed", "default_maxspeed", F.lit(25.0))
+        )
+    else:
+        edges = edges.withColumn("maxspeed_final", F.coalesce("maxspeed", F.lit(25.0)))
+    ow = F.coalesce(F.col("oneway"), F.lit(0))
+    edges = (
+        edges.withColumn(
+            "cost_length_forward", F.when(ow >= 0, F.col("length_m")).otherwise(-F.col("length_m"))
+        )
+        .withColumn(
+            "cost_length_reverse", F.when(ow <= 0, F.col("length_m")).otherwise(-F.col("length_m"))
+        )
+        .withColumn(
+            "cost_seconds_forward",
+            F.when(ow >= 0, F.col("length_m") * kmh_to_seconds_per_meter(F.col("maxspeed_final"))).otherwise(F.lit(-1.0)),
+        )
+        .withColumn(
+            "cost_seconds_reverse",
+            F.when(ow <= 0, F.col("length_m") * kmh_to_seconds_per_meter(F.col("maxspeed_final"))).otherwise(F.lit(-1.0)),
+        )
+    )
+    edge_cols = [
+        "final_edge_id", id_col, "seq", "geom_wkb", "source_vertex", "target_vertex",
+        "length_m", "cost_length_forward", "cost_length_reverse", "maxspeed_final",
+        "cost_seconds_forward", "cost_seconds_reverse",
+    ]
+    return edges.select(*edge_cols).withColumnRenamed("final_edge_id", "edge_id"), vertices

@@ -35,16 +35,24 @@ def get_spark(
         # spark.sql.adaptive.coalescePartitions + a much larger initial count.
         shuffle_partitions = max(DEFAULT_SHUFFLE_PARTITIONS, 2 * cores)
 
+    # local mode: driver JVM == executor JVM; the 1g default heap OOMs at
+    # bench scale. Sized for the sandbox (128 GiB box); on a real cluster
+    # spark-submit supplies executor memory and this only affects the driver.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     builder = (
         SparkSession.builder.appName(app_name)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # image `bytes` payloads: cap Arrow batch row count so a batch of
-        # ~100 KB images stays well under executor memory (SURVEY.md §7.3)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # large record batches keep the vectorized-UDF hot path efficient at
+        # high parallelism (2048-row batches measured 9x slower at local[32]);
+        # maxBytesPerBatch (64 MB default) still bounds memory for image
+        # `bytes` payload batches (SURVEY.md §7.3)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(64 * 1024 * 1024))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.maxResultSize", "4g")

@@ -174,6 +174,47 @@ def derived_osm_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def street_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10 streets from ``supplier`` (s_suppkey 0..4 → horizontal at the cell
+    row centers, 5..9 → vertical at the strip centers; keys above 9 ignored): a grid with 25 known
+    crossings — the routing-network oracle's input. road_line-shaped."""
+    sups = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") < 10)  # fixed 10-street grid at every sf
+        .select("s_suppkey")
+        .collect()
+    )
+    rows = []
+    for s in sups:
+        k = int(s["s_suppkey"])  # testdata keys are 0-based
+        if k < 5:
+            y = LAT0 + (k + 0.5) * CELL_H
+            coords = np.array([[LON0, y], [LON0 + LON_SPAN, y]])
+            osm_type = "residential"
+        else:
+            x = LON0 + (k - 5 + 0.5) * STRIP_W
+            coords = np.array([[x, LAT0], [x, LAT0 + LAT_SPAN]])
+            osm_type = "primary"
+        rows.append(
+            (k, wkb.encode_linestring(coords), 0, 0, None, osm_type)
+        )
+    return spark.createDataFrame(
+        rows,
+        schema="osm_id long, geom_wkb binary, layer int, oneway short, "
+        "maxspeed double, osm_type string",
+    )
+
+
+def street_crossing_sql() -> dict[str, str]:
+    """Closed-form SQL text for the street grid: H street k runs at
+    y_k = LAT0 + (k+0.5)*CELL_H; V street j at x_j = LON0 + (j-5+0.5)*STRIP_W
+    (supplier keys are 0-based in the testdata)."""
+    return {
+        "hy": f"({LAT0} + ((k) + 0.5) * {CELL_H})",
+        "vx": f"({LON0} + ((k) - 5 + 0.5) * {STRIP_W})",
+    }
+
+
 def _rect(x0: float, y0: float, x1: float, y1: float) -> bytes:
     ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=np.float64)
     return wkb.encode_polygon([ring])

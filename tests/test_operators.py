@@ -171,3 +171,37 @@ def test_collapse_to_points(world, spark):
     if polys.count():
         r = polys.limit(1).collect()[0]
         assert fixtures.LON_MIN <= r["lon"] <= fixtures.LON_MAX
+
+
+def test_knn_adaptive_matches_brute_force(spark):
+    """Adaptive multi-res kNN on the skewed (hot-disc) distribution."""
+    import pandas as pd
+    from pgosm_flex_spark.operators.knn import knn_join_adaptive
+
+    n_pts, n_feats = 800, 3000
+    pdf = pd.DataFrame(
+        {
+            "image_id": [f"p{i}" for i in range(n_pts)],
+            "lon": [fixtures.point_lonlat(i)[0] for i in range(n_pts)],
+            "lat": [fixtures.point_lonlat(i)[1] for i in range(n_pts)],
+        }
+    )
+    fdf = pd.DataFrame(
+        {
+            "osm_id": list(range(n_feats)),
+            "lon": [fixtures.point_lonlat(10_000 + i)[0] for i in range(n_feats)],
+            "lat": [fixtures.point_lonlat(10_000 + i)[1] for i in range(n_feats)],
+        }
+    )
+    got = knn_join_adaptive(
+        spark.createDataFrame(pdf), spark.createDataFrame(fdf), k=3
+    ).toPandas()
+    f_lon = fdf["lon"].to_numpy()
+    f_lat = fdf["lat"].to_numpy()
+    fid = fdf["osm_id"].to_numpy()
+    assert len(got) == n_pts * 3
+    for _, p in pdf.iterrows():
+        d = kernels.haversine_m(p["lon"], p["lat"], f_lon, f_lat)
+        order = np.lexsort((fid, d))[:3]
+        g = got[got["image_id"] == p["image_id"]].sort_values("knn_rank")
+        assert g["osm_id"].tolist() == fid[order].tolist(), p["image_id"]

@@ -1,0 +1,113 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pgosm_flex_spark.geometry import kernels, wkb
+from pgosm_flex_spark.operators import routing
+
+
+def line(coords):
+    return wkb.encode_linestring(np.array(coords, dtype=np.float64))
+
+
+@pytest.fixture(scope="module")
+def grid_roads(spark):
+    """3 horizontal + 3 vertical streets crossing at 9 known points."""
+    rows = []
+    for k in range(3):
+        y = 38.80 + k * 0.01
+        x = -77.10 + k * 0.01
+        rows.append((k, line([[-77.11, y], [-77.07, y]]), 0, 0, 30.0, "residential"))
+        rows.append((10 + k, line([[x, 38.79], [x, 38.83]]), 0, 0, None, "primary"))
+    return spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=["osm_id", "geom_wkb", "layer", "oneway", "maxspeed", "osm_type"],
+        )
+    ).cache()
+
+
+def test_routing_network_grid(spark, grid_roads):
+    edges, vertices = routing.build_routing_network(grid_roads)
+    e = edges.toPandas()
+    v = vertices.toPandas()
+    # each street crosses 3 others -> 3 blades -> 4 segments; 6 streets * 4 = 24
+    assert len(e) == 24
+    # vertices: 9 intersections (degree 4) + 12 endpoints (degree 1)
+    assert len(v) == 21
+    deg = v.groupby("degree").size().to_dict()
+    assert deg == {1: 12, 4: 9}
+    # total length preserved per street
+    for osm_id, grp in e.groupby("osm_id"):
+        total = grp["length_m"].sum()
+        orig = grid_roads.filter(F.col("osm_id") == osm_id).collect()[0]["geom_wkb"]
+        exp = kernels.line_length_m(wkb.decode(bytes(orig)))
+        assert total == pytest.approx(exp, abs=1e-3)  # blade quantization ~1 cm -> sub-mm length effect
+    # deterministic edge ids: rebuild -> same ids
+    e2 = routing.build_routing_network(grid_roads)[0].toPandas()
+    assert set(e["edge_id"]) == set(e2["edge_id"])
+
+
+def test_layer_separation(spark):
+    """Edges on different layers (bridge over road) must not split."""
+    rows = [
+        (1, line([[-77.10, 38.80], [-77.06, 38.80]]), 0, 0, None, "residential"),
+        (2, line([[-77.08, 38.78], [-77.08, 38.82]]), 1, 0, None, "motorway"),  # layer 1
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["osm_id", "geom_wkb", "layer", "oneway", "maxspeed", "osm_type"])
+    )
+    edges, _ = routing.build_routing_network(df)
+    assert edges.count() == 2  # no splits across layers
+
+
+def test_oneway_costs(spark):
+    rows = [
+        (1, line([[-77.10, 38.80], [-77.09, 38.80]]), 0, 1, 50.0, "primary"),
+        (2, line([[-77.10, 38.81], [-77.09, 38.81]]), 0, -1, 50.0, "primary"),
+        (3, line([[-77.10, 38.82], [-77.09, 38.82]]), 0, 0, 50.0, "primary"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["osm_id", "geom_wkb", "layer", "oneway", "maxspeed", "osm_type"])
+    )
+    e = routing.build_routing_network(df)[0].toPandas().set_index("osm_id")
+    assert e.loc[1, "cost_length_forward"] > 0 and e.loc[1, "cost_length_reverse"] < 0
+    assert e.loc[2, "cost_length_forward"] < 0 and e.loc[2, "cost_length_reverse"] > 0
+    assert e.loc[3, "cost_length_forward"] > 0 and e.loc[3, "cost_length_reverse"] > 0
+    # travel time = length / (50 km/h): 3.6/50 s per meter
+    assert e.loc[1, "cost_seconds_forward"] == pytest.approx(
+        e.loc[1, "length_m"] * 3.6 / 50.0
+    )
+    assert e.loc[1, "cost_seconds_reverse"] == -1.0
+
+
+def test_lookup_default_maxspeed(spark):
+    rows = [(1, line([[-77.10, 38.80], [-77.09, 38.80]]), 0, 0, None, "motorway")]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["osm_id", "geom_wkb", "layer", "oneway", "maxspeed", "osm_type"])
+    )
+    lookup = spark.createDataFrame(
+        pd.DataFrame({"osm_type": ["motorway"], "maxspeed": [120.0]})
+    )
+    e = routing.build_routing_network(df, lookup=lookup)[0].collect()[0]
+    assert e["maxspeed_final"] == 120.0
+
+
+def test_multiline_explode(spark):
+    ml = wkb.encode_multilinestring(
+        [
+            np.array([[-77.10, 38.80], [-77.09, 38.80]]),
+            np.array([[-77.08, 38.80], [-77.07, 38.80]]),
+        ]
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, ml, 0, 0, None, "path")],
+            columns=["osm_id", "geom_wkb", "layer", "oneway", "maxspeed", "osm_type"],
+        )
+    )
+    edges, _ = routing.build_routing_network(df)
+    assert edges.count() == 2
