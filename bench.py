@@ -51,11 +51,19 @@ def main() -> None:
     n_images = int(os.environ.get("SPARK_GRAFT_BENCH_N", li_rows))
 
     timings: dict[str, float] = {}
+    # best-of-N for the headline query: the sandbox host is shared, so
+    # single-shot wall times at high parallelism carry neighbor noise
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1"))
 
-    def timed(name: str, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
+    def timed(name: str, fn, reps: int = 1):
+        best = None
+        out = None
+        for _ in range(max(1, reps)):
+            t0 = time.time()
+            out = fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         return out
 
     # ---- input: distributed synthetic image points (captions; hot-cell skew)
@@ -92,7 +100,7 @@ def main() -> None:
             .count()
         )
 
-    timed("q_pip_join", run_pip)
+    timed("q_pip_join", run_pip, reps=repeat)
 
     # ---- tiles
     timed("q_tiles_z12", lambda: tile_counts(pts, zoom=12).count())

@@ -1,0 +1,121 @@
+"""Full import job — the Spark analog of `python3 docker/pgosm_flex.py`
+(/root/reference/docker/pgosm_flex.py:23-79, lifecycle SURVEY.md §3.1).
+
+Steps (one driver program; the reference's five process boundaries collapse
+into stage boundaries):
+
+1. config → ImportMode guard (okay_to_run version check)
+2. read the image/caption input (parquet here; Iceberg on a real cluster)
+3. tag→schema mapping: one shared scan → enabled layers' tables
+4. post-processing: relation dedup, nested admin polygons
+5. flagship containment join of image points into place polygons,
+   checkpointed per coarse cell (resumable)
+6. export bundle with manifest (the pg_dump analog)
+
+Run standalone or via spark-submit --py-files (tools/submit.sh).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description="pgosm-flex-spark import")
+    p.add_argument("--input", help="images parquet (image_id, bytes, w, h, fmt, caption, phash); omit to synthesize")
+    p.add_argument("--n-images", type=int, default=10000, help="synthetic image count when --input absent")
+    p.add_argument("--layerset", default="everything")
+    p.add_argument("--region", default="synthetic-dc")
+    p.add_argument("--out", required=True)
+    p.add_argument("--date", default="1970-01-01")
+    p.add_argument("--mode", default="create", choices=["create", "append"])
+    p.add_argument("--force", action="store_true")
+    p.add_argument("--skip-nested", action="store_true")
+    p.add_argument("--cpus", type=int, default=None)
+    args = p.parse_args()
+
+    from pgosm_flex_spark import __version__, fixtures
+    from pgosm_flex_spark.functions import tags as tagf
+    from pgosm_flex_spark.layers import build_layer_tables
+    from pgosm_flex_spark.operators import relation_member_dedup
+    from pgosm_flex_spark.operators.nested import build_nested_admin_polygons
+    from pgosm_flex_spark.plans import ImportMode
+    from pgosm_flex_spark.plans.checkpoint import checkpointed_pip_join
+    from pgosm_flex_spark.session import get_spark
+    from pgosm_flex_spark.sinks import export_bundle
+
+    spark = get_spark("pgosm-flex-spark-import", cores=args.cpus)
+    t0 = time.time()
+
+    mode = ImportMode(update=args.mode if args.mode == "append" else None, force=args.force)
+    prior_path = os.path.join(args.out, "manifest.json")
+    prior = None
+    if os.path.exists(prior_path):
+        with open(prior_path) as f:
+            prior = json.load(f)
+        prior = {"engine_version": prior.get("engine_version", "0"), "status": "completed"}
+    if not mode.okay_to_run(prior, __version__):
+        print("refusing to overwrite newer-version output (use --force)", file=sys.stderr)
+        return 2
+
+    # 2. input
+    if args.input:
+        images = spark.read.parquet(args.input)
+    else:
+        images = fixtures.images_df(spark, args.n_images, with_pixels=False)
+    pts = tagf.with_tags(images).filter(F.col("lon").isNotNull())
+
+    # 3. layer mapping over one shared scan (feature side: fixture world)
+    osm = fixtures.osm_objects_df(spark).cache()
+    tables = build_layer_tables(osm, layerset=args.layerset)
+
+    # 4. post-processing (fresh imports only — the reference's
+    # dedup-only-on-fresh-import asymmetry, SURVEY.md §3.3)
+    if mode.run_post_sql and "place_polygon" in tables:
+        tables["place_polygon"] = relation_member_dedup(tables["place_polygon"])
+        if not args.skip_nested:
+            tables["place_polygon_nested"] = build_nested_admin_polygons(
+                tables["place_polygon"].filter(F.col("geom_wkb").isNotNull())
+            )
+
+    # 5. flagship containment join, checkpointed per coarse cell
+    pair_metrics = {}
+    if "place_polygon" in tables:
+        polys = tables["place_polygon"].filter(F.col("geom_wkb").isNotNull())
+        pair_metrics = checkpointed_pip_join(
+            spark,
+            pts.select("image_id", "lon", "lat"),
+            polys,
+            os.path.join(args.out, "image_place_pairs"),
+            job_id=f"{args.region}-{args.date}",
+            point_cols=["image_id"],
+        )
+
+    # 6. export bundle
+    manifest = export_bundle(
+        spark, tables, args.out, region=args.region,
+        layerset=args.layerset, pgosm_date=args.date,
+    )
+    manifest["pip_units"] = {
+        "total": len(pair_metrics),
+        "skipped_resume": sum(1 for m in pair_metrics.values() if m.get("skipped")),
+    }
+    manifest["wall_seconds"] = round(time.time() - t0, 1)
+    with open(prior_path, "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    print(json.dumps({"status": "Completed", **manifest["pip_units"],
+                      "tables": len(manifest["tables"]),
+                      "wall_seconds": manifest["wall_seconds"]}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

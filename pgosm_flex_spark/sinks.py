@@ -1,0 +1,94 @@
+"""Table sinks + export bundle — SURVEY.md S3/S4.
+
+The reference bulk-loads typed tables into PostGIS and optionally pg_dumps
+the schema to a dated artifact (/root/reference/docker/db.py:615-647, name
+derivation docker/pgosm_flex.py:367-416). Here every layer table writes as
+parquet partitioned/sorted for cell pruning, and an export bundle is a
+directory of per-table parquet plus a manifest.json carrying the run
+metadata the reference stores in its import journal (region/layerset/date/
+row counts) — the artifact a downstream consumer would sync.
+
+With Iceberg jars on the cluster the same writes map to
+``df.writeTo(tbl).using("iceberg")`` with a sort order on the cell column;
+plain parquet is the sandbox fallback.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgosm_flex_spark import __version__
+from pgosm_flex_spark.index import cells
+
+
+def write_layer_table(
+    df: DataFrame,
+    out_dir: str,
+    name: str,
+    cell_res: int = 8,
+    mode: str = "overwrite",
+) -> int:
+    """Write one layer table, cell-bucketed for pruning: rows with a point
+    location gain a coarse cell column used as the partition key (the
+    'index' analog of the reference's per-table GiST specs,
+    /root/reference/flex-config/helpers.lua:442-573)."""
+    target = os.path.join(out_dir, name)
+    if "lon" in df.columns and "lat" in df.columns:
+        df = df.withColumn(
+            "cell_p",
+            F.when(
+                F.col("lon").isNotNull(),
+                cells.cell_col(F.col("lon"), F.col("lat"), cell_res),
+            ).otherwise(F.lit(-1)),
+        )
+        df.write.mode(mode).partitionBy("cell_p").parquet(target)
+    else:
+        df.write.mode(mode).parquet(target)
+    # count the written frame directly: a zero-row table leaves no parquet
+    # files behind and cannot be re-read without a schema
+    return df.count()
+
+
+def export_bundle(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    out_dir: str,
+    region: str,
+    layerset: str,
+    pgosm_date: str,
+) -> dict:
+    """Write every layer table + manifest. Returns the manifest dict.
+
+    Bundle name mirrors the reference's dump naming
+    (docker/pgosm_flex.py:553-570): <region>-<layerset>-<date>.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    counts = {}
+    for name, df in sorted(tables.items()):
+        counts[name] = write_layer_table(df, out_dir, name)
+    manifest = {
+        "bundle": f"{region.replace('/', '-')}-{layerset}-{pgosm_date}",
+        "region": region,
+        "layerset": layerset,
+        "pgosm_date": pgosm_date,
+        "engine_version": __version__,
+        "srid_convention": "EPSG:4326 coordinates; web-mercator cell/tile grid",
+        "tables": counts,
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest
+
+
+def run_sql_scripts(spark: SparkSession, scripts: list[str], schema_name: str) -> None:
+    """Deploy-script runner with {schema_name} templating — SURVEY.md S5
+    (/root/reference/docker/db.py:437-463 runs DDL files with schema
+    substitution; flex-config/run-sql.lua:39-92 rewrites 'osm.' prefixes)."""
+    for text in scripts:
+        for stmt in text.format(schema_name=schema_name).split(";"):
+            if stmt.strip():
+                spark.sql(stmt)

@@ -23,6 +23,7 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    env.setdefault("SPARK_GRAFT_BENCH_REPEAT", "3")
     env["PYTHONPATH"] = REPO
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -36,20 +37,22 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
-    low = run_bench(8, sf_dir)
-    high = run_bench(32, sf_dir)
+    n_low = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+    n_high = 4 * n_low
+    low = run_bench(n_low, sf_dir)
+    high = run_bench(n_high, sf_dir)
     t_low = low["queries"]["q_pip_join"]
     t_high = high["queries"]["q_pip_join"]
     efficiency = round((t_low / t_high) / 4.0, 3)
     print(json.dumps({
         "sf_dir": sf_dir,
-        "local8": low,
-        "local32": high,
-        "pip_secs_local8": t_low,
-        "pip_secs_local32": t_high,
-        "throughput_local8": low["value"],
-        "throughput_local32": high["value"],
-        "scaling_efficiency_8_to_32": efficiency,
+        f"local{n_low}": low,
+        f"local{n_high}": high,
+        f"pip_secs_local{n_low}": t_low,
+        f"pip_secs_local{n_high}": t_high,
+        f"throughput_local{n_low}": low["value"],
+        f"throughput_local{n_high}": high["value"],
+        f"scaling_efficiency_{n_low}_to_{n_high}": efficiency,
     }))
 
 
