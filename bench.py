@@ -53,7 +53,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     # best-of-N for the headline query: the sandbox host is shared, so
     # single-shot wall times at high parallelism carry neighbor noise
-    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1"))
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
 
     def timed(name: str, fn, reps: int = 1):
         best = None

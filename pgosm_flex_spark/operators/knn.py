@@ -53,37 +53,43 @@ def topk_per_point(
     batch boundaries. Output adds ``knn_rank`` (1-based) and keeps ≤k rows
     per point.
     """
-    cols = cand.columns
-    sorted_df = cand.sortWithinPartitions(pid_col, dist_col, fid_col)
+    import pandas as pd
+
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in cand.schema.fields)
     schema += ", knn_rank int"
 
+    def _topk(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df.assign(knn_rank=pd.Series([], dtype="int32"))
+        s = df.sort_values([pid_col, dist_col, fid_col], kind="stable")
+        ranks = s.groupby(pid_col, sort=False).cumcount()
+        out = s.loc[ranks.to_numpy() < k].copy()
+        out["knn_rank"] = (ranks[ranks < k] + 1).astype("int32").to_numpy()
+        return out
+
     def stream(batches):
-        carry_pid = None
-        carry_n = 0
+        # contract: a point's candidate rows are contiguous within the
+        # partition (explode + broadcast join preserve probe order), so only
+        # the group straddling a batch boundary needs carrying
+        carry: pd.DataFrame | None = None
         for b in batches:
             if len(b) == 0:
                 continue
-            ranks = b.groupby(pid_col, sort=False).cumcount().to_numpy()
-            if carry_pid is not None:
-                first = b[pid_col].to_numpy()
-                mask = first == carry_pid
-                # contiguous prefix belonging to the carried-over point
-                prefix = int(mask.argmin()) if not mask.all() else len(b)
-                ranks[:prefix] += carry_n
+            if carry is not None:
+                if b[pid_col].iloc[0] == carry[pid_col].iloc[0]:
+                    b = pd.concat([carry, b], ignore_index=True)
+                else:
+                    yield _topk(carry)
             last_pid = b[pid_col].iloc[-1]
-            carry_n = int((b[pid_col] == last_pid).sum()) + (
-                carry_n if carry_pid == last_pid else 0
-            )
-            # recompute precisely: rank of last row + 1 is the count so far
-            carry_n = int(ranks[-1]) + 1
-            carry_pid = last_pid
-            keep = ranks < k
-            out = b.loc[keep].copy()
-            out["knn_rank"] = (ranks[keep] + 1).astype("int32")
-            yield out
+            is_last = (b[pid_col] == last_pid).to_numpy()
+            carry = b.loc[is_last]
+            main = b.loc[~is_last]
+            if len(main):
+                yield _topk(main)
+        if carry is not None and len(carry):
+            yield _topk(carry)
 
-    return sorted_df.mapInPandas(stream, schema=schema)
+    return cand.mapInPandas(stream, schema=schema)
 
 
 def knn_join_adaptive(

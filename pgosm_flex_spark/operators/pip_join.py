@@ -127,36 +127,38 @@ def pip_join(
         cover = build_polygon_cover(
             polygons, poly_id, wkb_col, fine_res, coarse_res, max_cells_per_poly
         ).persist()
-    res_levels = [r["res"] for r in cover.select(
-        F.shiftright("cell", 58).alias("res")).distinct().collect()]
+    res_levels = sorted(
+        r["res"] for r in cover.select(
+            F.shiftright("cell", 58).alias("res")).distinct().collect()
+    )
 
+    # ONE join: each point explodes its ancestor cell at every resolution
+    # present in the cover (≤ fine-coarse+1 rows, typically 2-4) and probes
+    # the broadcast cover once. A per-resolution union of joins measures
+    # ~12 fixed-overhead stages that dominate wall time and anti-scale with
+    # cores; the exploded single-stage plan trades a small probe-row
+    # multiplier for a fully parallel pipeline.
     pts = points.select(*point_cols, F.col(lon).alias("__lon"), F.col(lat).alias("__lat"))
     pts = pts.withColumn("__fine_cell", cells.cell_col(F.col("__lon"), F.col("__lat"), fine_res))
-
-    matched_parts: list[DataFrame] = []
-    for res in sorted(res_levels, reverse=True):
-        cov_r = cover.filter(F.shiftright("cell", 58) == res)
-        if broadcast_cover:
-            cov_r = F.broadcast(cov_r)
+    ancestors = []
+    for res in res_levels:
         shift = fine_res - res
-        point_cell_at_res = (
+        ancestors.append(
             F.lit(res).cast("long") * F.lit(1 << 58).cast("long")
-            + F.shiftright(cells.cell_x_col(F.col("__fine_cell")), shift).cast("long") * F.lit(1 << 29).cast("long")
+            + F.shiftright(cells.cell_x_col(F.col("__fine_cell")), shift).cast("long")
+            * F.lit(1 << 29).cast("long")
             + F.shiftright(cells.cell_y_col(F.col("__fine_cell")), shift).cast("long")
         )
-        cand = pts.withColumn("__cell", point_cell_at_res).join(
-            cov_r, F.col("__cell") == cov_r["cell"], "inner"
-        )
-        # interior-cell candidates are hits by construction — the exact UDF
-        # only ever sees boundary-cell rows
-        interior = cand.filter(F.col("kind") == kernels.KIND_INTERIOR)
-        boundary = cand.filter(F.col("kind") == kernels.KIND_BOUNDARY).filter(
-            pip_udf(F.col("__lon"), F.col("__lat"), F.col("geom_wkb"))
-        )
-        matched_parts.append(interior.select(*point_cols, F.col(poly_id)))
-        matched_parts.append(boundary.select(*point_cols, F.col(poly_id)))
+    pts = pts.withColumn("__cell", F.explode(F.array(*ancestors)))
 
-    out = matched_parts[0]
-    for part in matched_parts[1:]:
-        out = out.unionByName(part)
-    return out
+    cov = F.broadcast(cover) if broadcast_cover else cover
+    cand = pts.join(cov, pts["__cell"] == cov["cell"], "inner")
+    # interior-cell candidates are hits by construction — the exact UDF only
+    # ever sees boundary-cell rows
+    interior = cand.filter(F.col("kind") == kernels.KIND_INTERIOR)
+    boundary = cand.filter(F.col("kind") == kernels.KIND_BOUNDARY).filter(
+        pip_udf(F.col("__lon"), F.col("__lat"), F.col("geom_wkb"))
+    )
+    return interior.select(*point_cols, F.col(poly_id)).unionByName(
+        boundary.select(*point_cols, F.col(poly_id))
+    )

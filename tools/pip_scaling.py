@@ -1,0 +1,80 @@
+"""Focused scaling evidence for the north rule: the flagship PIP+rollup
+query at N and 4N cores over the SAME input, sized so per-core work
+dominates fixed stage overheads (a 3-second job measures scheduler latency,
+not scaling).
+
+Runs each level in its own JVM (subprocess), best-of-R timing.
+
+  PYTHONPATH=/root/repo python tools/pip_scaling.py [n_points] [n_low]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, os.environ["REPO"])
+from pyspark.sql import functions as F
+from pgosm_flex_spark.session import get_spark
+from pgosm_flex_spark import fixtures
+from pgosm_flex_spark.functions import tags as tagf
+from pgosm_flex_spark.layers import build_layer_tables
+from pgosm_flex_spark.operators import pip_join, relation_member_dedup
+from pgosm_flex_spark.operators.pip_join import build_polygon_cover
+
+cpus = int(os.environ["CPUS"]); n = int(os.environ["NPOINTS"]); reps = int(os.environ.get("REPS", "3"))
+spark = get_spark("pip-scaling", cores=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+pts = tagf.with_tags(fixtures.images_df(spark, n, with_pixels=False)).select("image_id", "lon", "lat").persist()
+pts.count()
+osm = fixtures.osm_objects_df(spark)
+place = relation_member_dedup(build_layer_tables(osm)["place_polygon"]).filter(F.col("geom_wkb").isNotNull()).persist()
+place.count()
+cover = build_polygon_cover(place).persist(); cover.count()
+attrs = place.select("osm_id", "osm_type", "admin_level")
+
+def run():
+    pairs = pip_join(pts, place, point_cols=["image_id"], cover=cover)
+    return pairs.join(F.broadcast(attrs), "osm_id").groupBy("osm_type", "admin_level").agg(F.count(F.lit(1))).count()
+
+best = None
+for _ in range(reps):
+    t0 = time.time(); run(); dt = time.time() - t0
+    best = dt if best is None else min(best, dt)
+print(json.dumps({"cpus": cpus, "n_points": n, "pip_secs_best": round(best, 2),
+                  "throughput": round(n / best, 1)}))
+"""
+
+
+def run_level(cpus: int, n_points: int, reps: int) -> dict:
+    env = dict(os.environ)
+    env.update(REPO=REPO, CPUS=str(cpus), NPOINTS=str(n_points), REPS=str(reps),
+               PYTHONPATH=REPO)
+    out = subprocess.run([sys.executable, "-c", WORKER], capture_output=True,
+                         text=True, env=env, check=True)
+    return json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+
+
+def main() -> None:
+    n_points = int(sys.argv[1]) if len(sys.argv) > 1 else 6_000_000
+    n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    reps = int(os.environ.get("REPS", "3"))
+    low = run_level(n_low, n_points, reps)
+    high = run_level(4 * n_low, n_points, reps)
+    eff = round(low["pip_secs_best"] / high["pip_secs_best"] / 4.0, 3)
+    print(json.dumps({
+        "n_points": n_points,
+        f"local{n_low}": low,
+        f"local{4*n_low}": high,
+        "scaling_efficiency": eff,
+    }))
+
+
+if __name__ == "__main__":
+    main()
