@@ -115,12 +115,21 @@ def pip_join(
     max_cells_per_poly: int = DEFAULT_MAX_CELLS,
     broadcast_cover: bool = True,
     cover: DataFrame | None = None,
+    salt: int = 8,
 ) -> DataFrame:
     """points ⋈_within polygons → ``point_cols + [poly_id]``, one row per
     (point, containing polygon) pair.
 
     Pass a precomputed ``cover`` (from :func:`build_polygon_cover`, cached)
     when joining several point sets against the same polygons.
+
+    ``broadcast_cover=False`` switches to the shuffle equi-join fallback for
+    polygon sets too large to broadcast. There the cell key hash-partitions
+    both sides, and a hot cell (dense city) becomes a straggler — so the
+    cover side is replicated ``salt`` ways and each point picks one salt
+    bucket deterministically (adaptive replication: every polygon cover row
+    must exist in every salt bucket a point might choose; cf. PAPERS.md
+    EDBT 2025). AQE skew-join remains as a backstop.
     """
     own_cover = cover is None
     if own_cover:
@@ -151,8 +160,25 @@ def pip_join(
         )
     pts = pts.withColumn("__cell", F.explode(F.array(*ancestors)))
 
-    cov = F.broadcast(cover) if broadcast_cover else cover
-    cand = pts.join(cov, pts["__cell"] == cov["cell"], "inner")
+    if broadcast_cover:
+        cov = F.broadcast(cover)
+        cand = pts.join(cov, pts["__cell"] == cov["cell"], "inner")
+    else:
+        # salted shuffle join: replicate every cover row to all salt buckets,
+        # spread each point's probes across buckets by a hash of its fine
+        # cell + coords (deterministic, no RNG)
+        cov = cover.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        pts = pts.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.col("__fine_cell"), F.col("__lon"), F.col("__lat")), F.lit(salt)).cast("int"),
+        )
+        cand = pts.join(
+            cov,
+            (pts["__cell"] == cov["cell"]) & (pts["__salt"] == cov["__salt"]),
+            "inner",
+        )
     # interior-cell candidates are hits by construction — the exact UDF only
     # ever sees boundary-cell rows
     interior = cand.filter(F.col("kind") == kernels.KIND_INTERIOR)

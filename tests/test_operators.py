@@ -205,3 +205,14 @@ def test_knn_adaptive_matches_brute_force(spark):
         order = np.lexsort((fid, d))[:3]
         g = got[got["image_id"] == p["image_id"]].sort_values("knn_rank")
         assert g["osm_id"].tolist() == fid[order].tolist(), p["image_id"]
+
+
+def test_pip_shuffle_salted_matches_broadcast(world, points, spark):
+    """The salted shuffle fallback must produce the identical pair set."""
+    pts_df, _ = points
+    polys = world["place_polygon"].filter(F.col("osm_id") > 0)
+    bc = pip_join(pts_df, polys, point_cols=["image_id"])
+    sh = pip_join(pts_df, polys, point_cols=["image_id"], broadcast_cover=False, salt=4)
+    got_bc = {(r["image_id"], r["osm_id"]) for r in bc.collect()}
+    got_sh = {(r["image_id"], r["osm_id"]) for r in sh.collect()}
+    assert got_bc == got_sh and len(got_bc) > 0
