@@ -1,0 +1,56 @@
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pgosm_flex_spark import fixtures
+from pgosm_flex_spark.layers import build_layer_tables
+from pgosm_flex_spark.sinks import export_bundle, run_sql_scripts, write_layer_table
+from pgosm_flex_spark.sources.lookup import pgosm_road
+
+
+def test_write_layer_table_cell_partitioned(spark, tmp_path):
+    osm = fixtures.osm_objects_df(spark)
+    poi = build_layer_tables(osm, layerset="minimal")["poi_combined_point"]
+    n = write_layer_table(poi, str(tmp_path), "poi_combined_point")
+    back = spark.read.parquet(str(tmp_path / "poi_combined_point"))
+    assert back.count() == n > 0
+    assert "cell_p" in back.columns  # partition pruning key
+
+
+def test_export_bundle_manifest(spark, tmp_path):
+    osm = fixtures.osm_objects_df(spark)
+    tables = build_layer_tables(osm, layerset="minimal")
+    manifest = export_bundle(
+        spark, tables, str(tmp_path / "bundle"), region="dc", layerset="minimal",
+        pgosm_date="2026-01-01",
+    )
+    assert manifest["bundle"] == "dc-minimal-2026-01-01"
+    on_disk = json.load(open(tmp_path / "bundle" / "manifest.json"))
+    assert on_disk["tables"] == manifest["tables"]
+    assert set(manifest["tables"]) == set(tables)
+
+
+def test_run_sql_scripts_templating(spark):
+    run_sql_scripts(
+        spark,
+        [
+            "CREATE DATABASE IF NOT EXISTS {schema_name}",
+            "CREATE TABLE {schema_name}.t_sql_deploy (a INT) USING parquet;"
+            "INSERT INTO {schema_name}.t_sql_deploy VALUES (1), (2)",
+        ],
+        schema_name="osm_test",
+    )
+    assert spark.sql("SELECT count(*) FROM osm_test.t_sql_deploy").collect()[0][0] == 2
+    spark.sql("DROP TABLE osm_test.t_sql_deploy")
+    spark.sql("DROP DATABASE osm_test")
+
+
+def test_pgosm_road_golden_count(spark):
+    # tests/sql/pgosm_road_row_count.sql golden: 25 rows
+    df = pgosm_road(spark)
+    assert df.count() == 25
+    mph = {r["osm_type"]: r["maxspeed_mph"] for r in df.collect()}
+    assert mph["motorway"] == 65.0  # 104.60736 km/h / 1.609344
