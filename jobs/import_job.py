@@ -63,7 +63,11 @@ def main() -> int:
             prior = json.load(f)
         prior = {"engine_version": prior.get("engine_version", "0"), "status": "completed"}
     if not mode.okay_to_run(prior, __version__):
-        print("refusing to overwrite newer-version output (use --force)", file=sys.stderr)
+        print(
+            "prior output exists (or was made by a newer engine); "
+            "use --force or --mode append",
+            file=sys.stderr,
+        )
         return 2
 
     # 2. input

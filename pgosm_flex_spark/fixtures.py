@@ -257,8 +257,11 @@ def street_grid(n_each: int = 8) -> pd.DataFrame:
         x = LON_MIN + (LON_MAX - LON_MIN) * frac
         hw_type = _HIGHWAYS[k % len(_HIGHWAYS)]
         tags_h = {"highway": hw_type, "name": f"H Street {k}", "maxspeed": _MAXSPEEDS[k % 3] or "25"}
+        # mix the textual direction values ('yes' is the most common OSM
+        # one-way tagging) with numeric ones so parse_oneway's direction-type
+        # mapping is exercised, not just try_cast-able strings
         tags_v = {"highway": _HIGHWAYS[(k + 2) % len(_HIGHWAYS)], "ref": f"R-{k}",
-                  "oneway": str([0, 1, -1][k % 3])}
+                  "oneway": ["no", "yes", "-1"][k % 3]}
         line_h = wkb.encode_linestring(np.array([[LON_MIN, y], [LON_MAX, y]]))
         line_v = wkb.encode_linestring(np.array([[x, LAT_MIN], [x, LAT_MAX]]))
         rows.append(dict(osm_id=osm_id, geom_type="W", is_closed=False, tags=tags_h,

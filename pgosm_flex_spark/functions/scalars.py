@@ -84,8 +84,16 @@ def parse_admin_level(value: Column) -> Column:
 
 
 def parse_oneway(value: Column) -> Column:
-    """oneway → {-1,0,1}; `tags.oneway or 0` (/root/reference/flex-config/style/road.lua:94,133)."""
-    return F.coalesce(value.try_cast("short"), F.lit(0).cast("short"))
+    """oneway → {-1,0,1}: osm2pgsql's ``direction`` column type
+    (/root/reference/flex-config/style/road.lua:19,40) applied to
+    ``tags.oneway or 0`` (road.lua:94,133): 'yes'/'true'/'1' → 1, '-1' → -1,
+    everything else (incl. 'no', 'reversible', absent) → 0."""
+    return (
+        F.when(value.isin("yes", "true", "1"), F.lit(1))
+        .when(value == "-1", F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("short")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -102,7 +102,15 @@ def decode(wkb: bytes) -> Geom:
     byte_order, kind = _HDR.unpack_from(buf, 0)
     if byte_order != 1:
         raise ValueError("only little-endian WKB supported")
-    kind &= 0xFF  # tolerate EWKB flag bits being absent/ignored
+    if kind & 0xFFFFFF00:
+        # EWKB high bits change the wire layout (SRID flag 0x20000000 inserts
+        # a 4-byte SRID word; Z/M flags change the coordinate stride). Parsing
+        # on as if they were absent would yield garbage coordinates — fail
+        # loudly instead so foreign WKB is rejected, not misread.
+        raise ValueError(
+            f"EWKB/ISO flag bits 0x{kind & 0xFFFFFF00:x} not supported "
+            "(2D little-endian WKB only)"
+        )
     off = 5
     if kind == POINT:
         x, y = struct.unpack_from("<dd", buf, off)
@@ -124,7 +132,7 @@ def decode(wkb: bytes) -> Geom:
         parts = []
         for _ in range(nparts):
             _, sub_kind = _HDR.unpack_from(buf, off)
-            if (sub_kind & 0xFF) != LINESTRING:
+            if sub_kind != LINESTRING:
                 raise ValueError("multilinestring part is not a linestring")
             off += 5
             arr, off = _read_coords(buf, off)
@@ -137,7 +145,7 @@ def decode(wkb: bytes) -> Geom:
         counts: list[int] = []
         for _ in range(nparts):
             _, sub_kind = _HDR.unpack_from(buf, off)
-            if (sub_kind & 0xFF) != POLYGON:
+            if sub_kind != POLYGON:
                 raise ValueError("multipolygon part is not a polygon")
             off += 5
             (nrings,) = _U32.unpack_from(buf, off)

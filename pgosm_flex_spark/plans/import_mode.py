@@ -30,34 +30,47 @@ class ImportMode:
     def __post_init__(self):
         if self.update not in (None, "create", "append"):
             raise ValueError("update must be None, 'create' or 'append'")
-        if self.replication_update and not self.replication:
-            raise ValueError("replication_update requires replication")
 
     @property
     def slim_no_drop(self) -> bool:
-        """Keep intermediate state across runs (reference: --slim without
-        --drop when replication or append mode, helpers.py:364-374)."""
-        return self.replication or self.update == "append"
+        """Keep intermediate state across runs: set when replicating or when
+        --update was given with ANY value, including 'create'
+        (set_slim_no_drop, helpers.py:364-374)."""
+        return self.replication or self.update is not None
 
     @property
     def append_first_run(self) -> bool:
-        return self.update == "append" and not self.replication_update
+        """True by default (a plain no-flags run IS a first run); False for
+        replication updates; --update overrides both ways
+        (set_append_first_run, helpers.py:349-362)."""
+        if self.update is not None:
+            return self.update == "create"
+        return not self.replication_update
 
     @property
     def run_post_sql(self) -> bool:
-        """Post-processing (dedup deletes etc.) runs only on fresh imports —
-        the reference's dedup-only-on-fresh-import asymmetry
-        (helpers.py:376-389, SURVEY.md §3.3)."""
-        return not self.replication_update and self.update != "append"
+        """Post-processing SQL runs unless in --update=append mode
+        (set_run_post_sql, helpers.py:376-389 — replication updates skip it
+        upstream via osm2pgsql-replication, not via this flag)."""
+        return self.update != "append"
 
     def okay_to_run(self, prior: dict | None, engine_version: str) -> bool:
-        """Refuse to overwrite outputs produced by a newer engine version
-        unless forced (helpers.py okay_to_run semantics)."""
-        if self.force or prior is None:
+        """Data-loss guard (okay_to_run, helpers.py:284-352): force always
+        wins; no prior import always proceeds; a prior import from a NEWER
+        engine version refuses; replication requires the prior import to have
+        used replication; append mode proceeds; anything else (a plain
+        re-import over existing data) requires --force."""
+        if self.force:
             return True
-        prior_version = prior.get("engine_version", "0")
-        if _version_tuple(prior_version) > _version_tuple(engine_version):
+        if not prior:
+            return True
+        prior_version = prior.get("engine_version")
+        if prior_version is not None and _version_tuple(prior_version) > _version_tuple(
+            engine_version
+        ):
             return False
-        if prior.get("status") == "running":
-            return False
-        return True
+        if self.replication:
+            return bool(prior.get("replication", False))
+        if self.update == "append":
+            return True
+        return False

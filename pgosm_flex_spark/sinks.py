@@ -84,11 +84,60 @@ def export_bundle(
     return manifest
 
 
+def split_sql_statements(text: str) -> list[str]:
+    """Split a script into statements on ';', respecting single/double-quoted
+    strings (with '' / "" escapes), `backtick` identifiers, -- line comments
+    and /* block comments — a naive split breaks any literal containing ';'."""
+    stmts: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(text)
+    state = None  # None | "'" | '"' | '`' | '--' | '/*'
+    while i < n:
+        ch = text[i]
+        nxt = text[i + 1] if i + 1 < n else ""
+        if state is None:
+            if ch == ";":
+                stmts.append("".join(buf))
+                buf = []
+                i += 1
+                continue
+            if ch in ("'", '"', "`"):
+                state = ch
+            elif ch == "-" and nxt == "-":
+                state = "--"
+            elif ch == "/" and nxt == "*":
+                state = "/*"
+        elif state in ("'", '"'):
+            if ch == state:
+                # doubled quote is an escaped quote, stay in the string
+                if nxt == state:
+                    buf.append(ch)
+                    i += 1
+                    ch = nxt
+                else:
+                    state = None
+        elif state == "`":
+            if ch == "`":
+                state = None
+        elif state == "--":
+            if ch == "\n":
+                state = None
+        elif state == "/*":
+            if ch == "*" and nxt == "/":
+                buf.append(ch)
+                i += 1
+                ch = nxt
+                state = None
+        buf.append(ch)
+        i += 1
+    stmts.append("".join(buf))
+    return [s for s in (st.strip() for st in stmts) if s]
+
+
 def run_sql_scripts(spark: SparkSession, scripts: list[str], schema_name: str) -> None:
     """Deploy-script runner with {schema_name} templating — SURVEY.md S5
     (/root/reference/docker/db.py:437-463 runs DDL files with schema
     substitution; flex-config/run-sql.lua:39-92 rewrites 'osm.' prefixes)."""
     for text in scripts:
-        for stmt in text.format(schema_name=schema_name).split(";"):
-            if stmt.strip():
-                spark.sql(stmt)
+        for stmt in split_sql_statements(text.format(schema_name=schema_name)):
+            spark.sql(stmt)

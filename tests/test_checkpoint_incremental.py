@@ -21,25 +21,58 @@ from pgosm_flex_spark.streaming import incremental
 # ---------------------------------------------------------------------------
 
 def test_import_mode_flags():
+    """Row-for-row mirror of the reference truth table
+    (/root/reference/docker/tests/test_import_mode.py:10-160 +
+    docker/helpers.py:349-389)."""
+    # append_first_run
+    assert ImportMode().append_first_run  # no flags IS a first run
+    assert not ImportMode(replication=True, replication_update=True).append_first_run
+    assert ImportMode(
+        replication=True, replication_update=True, update="create"
+    ).append_first_run  # --update=create overrides replication_update
+    assert not ImportMode(
+        replication=True, replication_update=True, update="append"
+    ).append_first_run
+    assert not ImportMode(update="append").append_first_run
+    # slim_no_drop: ANY --update value sets it, including 'create'
     assert not ImportMode().slim_no_drop
     assert ImportMode(replication=True).slim_no_drop
     assert ImportMode(update="append").slim_no_drop
+    assert ImportMode(update="create").slim_no_drop
+    # run_post_sql: only --update=append skips it
     assert ImportMode().run_post_sql
-    assert not ImportMode(replication=True, replication_update=True).run_post_sql
+    assert ImportMode(update="create").run_post_sql
+    assert ImportMode(replication=True, replication_update=True).run_post_sql
     assert not ImportMode(update="append").run_post_sql
     with pytest.raises(ValueError):
         ImportMode(update="bogus")
-    with pytest.raises(ValueError):
-        ImportMode(replication_update=True)
 
 
 def test_import_mode_okay_to_run():
+    """okay_to_run semantics (docker/helpers.py:284-352): plain re-imports
+    over prior data need --force; replication needs a replication prior;
+    append mode always proceeds; newer-version priors refuse."""
     m = ImportMode()
     assert m.okay_to_run(None, "0.1.0")
-    assert m.okay_to_run({"engine_version": "0.1.0", "status": "completed"}, "0.1.0")
-    assert not m.okay_to_run({"engine_version": "0.2.0", "status": "completed"}, "0.1.0")
-    assert not m.okay_to_run({"engine_version": "0.1.0", "status": "running"}, "0.1.0")
+    assert m.okay_to_run({}, "0.1.0")
+    # prior data + no force + plain import -> refuse
+    assert not m.okay_to_run({"engine_version": "0.1.0", "replication": False}, "0.1.0")
     assert ImportMode(force=True).okay_to_run({"engine_version": "9.9"}, "0.1.0")
+    # newer prior version refuses regardless of mode
+    assert not ImportMode(update="append").okay_to_run(
+        {"engine_version": "0.2.0"}, "0.1.0"
+    )
+    # replication requires the prior import to have used replication
+    assert ImportMode(replication=True).okay_to_run(
+        {"engine_version": "0.1.0", "replication": True}, "0.1.0"
+    )
+    assert not ImportMode(replication=True).okay_to_run(
+        {"engine_version": "0.1.0", "replication": False}, "0.1.0"
+    )
+    # append over prior data is fine
+    assert ImportMode(update="append").okay_to_run(
+        {"engine_version": "0.1.0", "replication": False}, "0.1.0"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -38,6 +38,17 @@ def test_parse_speed(spark):
     assert got[4] == 23.5
 
 
+def test_parse_oneway_direction_type(spark):
+    # osm2pgsql 'direction' semantics (road.lua:19,40): yes/true/1 -> 1,
+    # -1 -> -1, everything else (no, reversible, garbage, absent) -> 0
+    got = run_value(
+        spark, scalars.parse_oneway,
+        ["yes", "true", "1", "-1", "no", "false", "0", "reversible",
+         "alternating", "garbage", None],
+    )
+    assert got == [1, 1, 1, -1, 0, 0, 0, 0, 0, 0, 0]
+
+
 def test_parse_layer_and_admin(spark):
     assert run_value(spark, scalars.parse_layer_value, ["2", "x", None]) == [2, 0, 0]
     assert run_value(spark, scalars.parse_admin_level, ["4", "x", None]) == [4, None, None]

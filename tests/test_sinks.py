@@ -54,3 +54,27 @@ def test_pgosm_road_golden_count(spark):
     assert df.count() == 25
     mph = {r["osm_type"]: r["maxspeed_mph"] for r in df.collect()}
     assert mph["motorway"] == 65.0  # 104.60736 km/h / 1.609344
+
+
+def test_split_sql_statements_quotes_and_comments():
+    from pgosm_flex_spark.sinks import split_sql_statements
+
+    stmts = split_sql_statements(
+        "SELECT 'a;b' AS x; -- trailing; comment\n"
+        "SELECT \"q;\" FROM t /* block; comment */; SELECT 'it''s;ok'"
+    )
+    assert len(stmts) == 3
+    assert stmts[0] == "SELECT 'a;b' AS x"
+    assert "block; comment" in stmts[1]
+    assert stmts[2] == "SELECT 'it''s;ok'"
+
+
+def test_run_sql_scripts_semicolon_in_literal(spark):
+    from pgosm_flex_spark.sinks import run_sql_scripts
+
+    run_sql_scripts(
+        spark,
+        ["CREATE OR REPLACE TEMP VIEW v_semi AS SELECT 'a;b' AS s; SELECT * FROM v_semi"],
+        schema_name="unused",
+    )
+    assert spark.sql("SELECT s FROM v_semi").collect()[0][0] == "a;b"
