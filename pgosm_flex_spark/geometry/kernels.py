@@ -131,6 +131,80 @@ def line_length_m(geom: wkb_mod.Geom) -> float:
 
 
 # ---------------------------------------------------------------------------
+# linemerge (ST_LineMerge, /root/reference/db/deploy/routing_functions.sql:63)
+# ---------------------------------------------------------------------------
+
+def linemerge(parts: list[np.ndarray]) -> list[np.ndarray]:
+    """Merge touching linestring parts into maximal linestrings.
+
+    ST_LineMerge semantics: two part-ends sharing a node are sewn together
+    only when exactly two ends meet there (junctions of ≥3 stay split);
+    parts are reversed as needed. Deterministic: chains start at the lowest
+    part index. Endpoint equality is exact float64 equality (the reference's
+    GEOS noder also requires exact node identity)."""
+    parts = [p for p in parts if p.shape[0] >= 2]
+    n = len(parts)
+    if n <= 1:
+        return parts
+
+    def key(pt) -> tuple[float, float]:
+        return (float(pt[0]), float(pt[1]))
+
+    node: dict[tuple[float, float], list[tuple[int, int]]] = {}
+    for i, p in enumerate(parts):
+        node.setdefault(key(p[0]), []).append((i, 0))
+        node.setdefault(key(p[-1]), []).append((i, 1))
+
+    def link(i: int, e: int) -> tuple[int, int] | None:
+        """The (part, end) sewn to part i's end e via a degree-2 node."""
+        k = key(parts[i][0] if e == 0 else parts[i][-1])
+        ends = node[k]
+        if len(ends) != 2:
+            return None
+        (a, ae), (b, be) = ends
+        j, f = (b, be) if (a, ae) == (i, e) else (a, ae)
+        if j == i:
+            return None  # both ends of one part: a self-closing ring
+        return (j, f)
+
+    used = [False] * n
+    merged: list[np.ndarray] = []
+    for i in range(n):
+        if used[i]:
+            continue
+        used[i] = True
+        chain: list[tuple[int, bool]] = [(i, False)]  # (part, reversed)
+        # extend past the tail
+        cur, rev = i, False
+        while True:
+            nxt = link(cur, 0 if rev else 1)
+            if nxt is None or used[nxt[0]]:
+                break
+            j, f = nxt
+            used[j] = True
+            chain.append((j, f == 1))  # joint must be j's FIRST oriented coord
+            cur, rev = j, f == 1
+        # extend before the head
+        cur, rev = i, False
+        head: list[tuple[int, bool]] = []
+        while True:
+            nxt = link(cur, 1 if rev else 0)
+            if nxt is None or used[nxt[0]]:
+                break
+            j, f = nxt
+            used[j] = True
+            head.append((j, f == 0))  # joint must be j's LAST oriented coord
+            cur, rev = j, f == 0
+        chain = list(reversed(head)) + chain
+        coords = []
+        for idx, r in chain:
+            p = parts[idx][::-1] if r else parts[idx]
+            coords.append(p if not coords else p[1:])
+        merged.append(np.concatenate(coords, axis=0))
+    return merged
+
+
+# ---------------------------------------------------------------------------
 # segment vs box / segment vs segment
 # ---------------------------------------------------------------------------
 

@@ -36,40 +36,58 @@ from pgosm_flex_spark.index import cells
 
 QUANT = 1e7  # vertex coordinate quantization (~1 cm)
 DEFAULT_RES = 12
+# coarse fallback level for lines whose bbox is too large to cover at
+# DEFAULT_RES (a merged cross-country way). At res 6 the whole world is a
+# 64×64 grid, so this level always fits.
+FALLBACK_RES = 6
 
 
-def _line_cells(geom: wkb_mod.Geom, res: int) -> np.ndarray:
-    cid, _ = kernels.covering_cells(geom, res)
-    return cid
+def explode_lines(
+    roads: DataFrame,
+    id_col: str = "osm_id",
+    wkb_col: str = "geom_wkb",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """ST_LineMerge + ST_Dump of (multi)linestrings → one single-part line per
+    row with a part index; touching parts of a multilinestring are dissolved
+    into maximal linestrings first (sql:63-84), degenerate parts dropped.
 
-
-def explode_lines(roads: DataFrame, id_col: str = "osm_id", wkb_col: str = "geom_wkb") -> DataFrame:
-    """ST_Dump of (multi)linestrings → one single-part line per row with a
-    part index; drops empty/degenerate parts (sql:63-84)."""
-    schema = f"{id_col} long, part int, geom_wkb binary"
+    ``carry`` columns ride through unchanged (one copy per emitted part) so
+    downstream cost/oneway attribution needs no join back to the road-sized
+    input — the join was a broadcast-OOM at scale."""
+    carry = tuple(c for c in carry if c != id_col)
+    carry_fields = [roads.schema[c] for c in carry]
+    schema = f"{id_col} long, part int, geom_wkb binary" + "".join(
+        f", {f.name} {f.dataType.simpleString()}" for f in carry_fields
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            ids, parts, wkbs = [], [], []
-            for rid, raw in zip(b[id_col].tolist(), b[wkb_col].tolist()):
+            out: dict[str, list] = {id_col: [], "part": [], "geom_wkb": []}
+            for c in carry:
+                out[c] = []
+            carried = [b[c].tolist() for c in carry]
+            for row_i, (rid, raw) in enumerate(zip(b[id_col].tolist(), b[wkb_col].tolist())):
                 if raw is None:
                     continue
                 g = wkb_mod.decode(bytes(raw))
                 if g.kind == wkb_mod.LINESTRING:
                     part_arrays = [g.rings[0]]
                 elif g.kind == wkb_mod.MULTILINESTRING:
-                    part_arrays = g.rings
+                    part_arrays = kernels.linemerge(g.rings)
                 else:
                     continue
                 for p_i, arr in enumerate(part_arrays):
                     if arr.shape[0] < 2:
                         continue
-                    ids.append(rid)
-                    parts.append(p_i)
-                    wkbs.append(wkb_mod.encode_linestring(arr))
-            yield pd.DataFrame({id_col: ids, "part": parts, "geom_wkb": wkbs})
+                    out[id_col].append(rid)
+                    out["part"].append(p_i)
+                    out["geom_wkb"].append(wkb_mod.encode_linestring(arr))
+                    for c, vals in zip(carry, carried):
+                        out[c].append(vals[row_i])
+            yield pd.DataFrame(out)
 
-    return roads.select(id_col, wkb_col).mapInPandas(run, schema=schema)
+    return roads.select(id_col, wkb_col, *carry).mapInPandas(run, schema=schema)
 
 
 def _intersections_of_pair(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -84,28 +102,51 @@ def edge_intersection_blades(
     id_col: str = "edge_id",
     layer_col: str | None = "layer",
     res: int = DEFAULT_RES,
+    fallback_res: int = FALLBACK_RES,
 ) -> DataFrame:
     """(edge_id, blade_x, blade_y) — exact crossing points between distinct
     edges sharing a cell (+ same layer, sql:129-137). Both edges of a pair
-    receive the blade."""
-    covschema = f"{id_col} long, cell long, geom_wkb binary" + (
+    receive the blade.
+
+    Two-level covering: a line whose bbox overflows the cell budget at
+    ``res`` (a merged cross-country way) is covered at ``fallback_res``
+    instead of crashing; every normal line ALSO emits its (few) ancestor
+    cells at ``fallback_res`` flagged non-primary, so oversized×normal pairs
+    still meet. Pairs where both rows are non-primary are skipped (two
+    normal lines already met at ``res`` if they can intersect at all)."""
+    covschema = f"{id_col} long, cell long, is_primary boolean, geom_wkb binary" + (
         f", {layer_col} int" if layer_col else ""
     )
 
     def cov(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            out = {id_col: [], "cell": [], "geom_wkb": []}
+            out = {id_col: [], "cell": [], "is_primary": [], "geom_wkb": []}
             if layer_col:
                 out[layer_col] = []
+
+            def emit(rid, cells_arr, primary, raw, lyr):
+                for c in cells_arr.tolist():
+                    out[id_col].append(rid)
+                    out["cell"].append(c)
+                    out["is_primary"].append(primary)
+                    out["geom_wkb"].append(raw)
+                    if layer_col:
+                        out[layer_col].append(lyr)
+
             for row in b.itertuples(index=False):
                 raw = bytes(getattr(row, "geom_wkb"))
                 g = wkb_mod.decode(raw)
-                for c in _line_cells(g, res).tolist():
-                    out[id_col].append(getattr(row, id_col))
-                    out["cell"].append(c)
-                    out["geom_wkb"].append(raw)
-                    if layer_col:
-                        out[layer_col].append(getattr(row, layer_col))
+                lyr = getattr(row, layer_col) if layer_col else None
+                try:
+                    cid, _ = kernels.covering_cells(g, res)
+                except ValueError:
+                    cid_fb, _ = kernels.covering_cells(g, fallback_res)
+                    emit(getattr(row, id_col), cid_fb, True, raw, lyr)
+                    continue
+                emit(getattr(row, id_col), cid, True, raw, lyr)
+                # ancestor cells at the fallback level (usually 1-2 rows)
+                anc = np.unique(cells.parent(cid, fallback_res))
+                emit(getattr(row, id_col), anc, False, raw, lyr)
             yield pd.DataFrame(out)
 
     sel = [id_col, "geom_wkb"] + ([layer_col] if layer_col else [])
@@ -113,15 +154,21 @@ def edge_intersection_blades(
 
     a = covered.select(
         F.col(id_col).alias("id_a"), F.col("cell"),
+        F.col("is_primary").alias("primary_a"),
         F.col("geom_wkb").alias("wkb_a"),
         *( [F.col(layer_col).alias("layer_a")] if layer_col else [] ),
     )
     b = covered.select(
         F.col(id_col).alias("id_b"), F.col("cell"),
+        F.col("is_primary").alias("primary_b"),
         F.col("geom_wkb").alias("wkb_b"),
         *( [F.col(layer_col).alias("layer_b")] if layer_col else [] ),
     )
-    pairs = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("primary_a") | F.col("primary_b"))
+    )
     if layer_col:
         pairs = pairs.filter(
             F.coalesce(F.col("layer_a"), F.lit(0)) == F.coalesce(F.col("layer_b"), F.lit(0))
@@ -138,9 +185,10 @@ def edge_intersection_blades(
                 pts = _intersections_of_pair(ga, gb)
                 if pts.shape[0] == 0:
                     continue
-                # replicated-join dedup: keep only points whose cell is the
-                # join cell
-                pc = cells.cells_of_points(pts[:, 0], pts[:, 1], res)
+                # replicated-join dedup: keep only points whose cell (at the
+                # join cell's own resolution) is the join cell
+                cell_res = int(row.cell >> 58)
+                pc = cells.cells_of_points(pts[:, 0], pts[:, 1], cell_res)
                 pts = pts[pc == row.cell]
                 for x, y in pts:
                     for eid in (row.id_a, row.id_b):
@@ -158,13 +206,17 @@ def split_edges_at_blades(
     lines: DataFrame,
     blades: DataFrame,
     id_col: str = "edge_id",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """ST_Split analog: cut each line at its blade points; blades at
     endpoints are no-ops; lines with no blades pass through unchanged
-    (sql:195-236). Output: (edge_id, seq, geom_wkb), seq ordered along the
-    original line direction."""
+    (sql:195-236). Output: (edge_id, seq, geom_wkb [, carry...]), seq ordered
+    along the original line direction. ``carry`` columns replicate onto every
+    piece — attribute propagation without a post-split join."""
+    carry = tuple(c for c in carry if c != id_col)
+    carry_fields = [lines.schema[c] for c in carry]
     with_blades = (
-        lines.select(id_col, "geom_wkb")
+        lines.select(id_col, "geom_wkb", *carry)
         .join(
             blades.groupBy(id_col).agg(
                 F.collect_list(F.struct("blade_x", "blade_y")).alias("blades")
@@ -173,11 +225,15 @@ def split_edges_at_blades(
             "left",
         )
     )
-    schema = f"{id_col} long, seq int, geom_wkb binary"
+    schema = f"{id_col} long, seq int, geom_wkb binary" + "".join(
+        f", {f.name} {f.dataType.simpleString()}" for f in carry_fields
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            ids, seqs, wkbs = [], [], []
+            out: dict[str, list] = {id_col: [], "seq": [], "geom_wkb": []}
+            for c in carry:
+                out[c] = []
             for row in b.itertuples(index=False):
                 arr = wkb_mod.decode(bytes(row.geom_wkb)).rings[0]
                 blade_rows = row.blades
@@ -190,10 +246,12 @@ def split_edges_at_blades(
                     by = np.array([p["blade_y"] for p in blade_rows])
                     pieces = _split_polyline(arr, bx, by)
                 for s, piece in enumerate(pieces):
-                    ids.append(getattr(row, id_col))
-                    seqs.append(s)
-                    wkbs.append(wkb_mod.encode_linestring(piece))
-            yield pd.DataFrame({id_col: ids, "seq": seqs, "geom_wkb": wkbs})
+                    out[id_col].append(getattr(row, id_col))
+                    out["seq"].append(s)
+                    out["geom_wkb"].append(wkb_mod.encode_linestring(piece))
+                    for c in carry:
+                        out[c].append(getattr(row, c))
+            yield pd.DataFrame(out)
 
     return with_blades.mapInPandas(run, schema=schema)
 
@@ -263,24 +321,29 @@ def build_routing_network(
     from pgosm_flex_spark.functions.scalars import kmh_to_seconds_per_meter
     from pgosm_flex_spark.geometry.udfs import length_m_udf
 
-    parts = explode_lines(roads, id_col=id_col)
+    # carry routing attributes through the per-part pipeline instead of
+    # joining back to the road-sized input afterwards: the old
+    # join(broadcast(roads-attrs)) OOMs at 100× scale — only the 25-row
+    # pgosm.road lookup below earns a broadcast
+    attr_cols = tuple(c for c in ("layer", "oneway", "maxspeed", "osm_type") if c in roads.columns)
+    parts = explode_lines(roads, id_col=id_col, carry=attr_cols)
     base = parts.withColumn(
         "edge_base_id", F.xxhash64(F.col(id_col), F.col("part"))
     )
-    lines = base.select(F.col("edge_base_id").alias("edge_id"), "geom_wkb", id_col)
+    lines = base.select(
+        F.col("edge_base_id").alias("edge_id"), "geom_wkb", id_col, *attr_cols
+    )
 
     blades = edge_intersection_blades(
-        lines.join(
-            roads.select(id_col, F.col("layer")), id_col, "left"
-        ).select("edge_id", "geom_wkb", "layer"),
+        lines.select("edge_id", "geom_wkb", "layer") if "layer" in attr_cols
+        else lines.select("edge_id", "geom_wkb"),
         id_col="edge_id",
-        layer_col="layer",
+        layer_col="layer" if "layer" in attr_cols else None,
         res=res,
     )
-    split = split_edges_at_blades(lines, blades, id_col="edge_id")
-    edges = split.join(
-        lines.select(F.col("edge_id"), F.col(id_col)), "edge_id"
-    ).withColumn("final_edge_id", F.xxhash64(F.col("edge_id"), F.col("seq")))
+    carry_through = (id_col,) + attr_cols
+    split = split_edges_at_blades(lines, blades, id_col="edge_id", carry=carry_through)
+    edges = split.withColumn("final_edge_id", F.xxhash64(F.col("edge_id"), F.col("seq")))
 
     # endpoints (precomputed columns instead of an expensive join, sql:86-91)
     ep_schema = "final_edge_id long, sx long, sy long, ex long, ey long"
@@ -319,15 +382,12 @@ def build_routing_network(
         F.count(F.lit(1)).alias("degree")
     )
 
-    # costs (sql:281-336, 482-493)
+    # costs (sql:281-336, 482-493) — oneway/maxspeed/osm_type arrived with
+    # the edge rows via carry; no join against the road table happens here
     edges = edges.withColumn("length_m", length_m_udf(F.col("geom_wkb")))
-    attrs = roads.select(
-        id_col,
-        F.col("oneway"),
-        F.col("maxspeed"),
-        F.col("osm_type"),
-    )
-    edges = edges.join(F.broadcast(attrs), id_col, "left")
+    for c, typ in (("oneway", "short"), ("maxspeed", "double"), ("osm_type", "string")):
+        if c not in attr_cols:
+            edges = edges.withColumn(c, F.lit(None).cast(typ))
     if lookup is not None:
         lk = lookup.select(
             F.col("osm_type"),

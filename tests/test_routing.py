@@ -111,3 +111,90 @@ def test_multiline_explode(spark):
     )
     edges, _ = routing.build_routing_network(df)
     assert edges.count() == 2
+
+
+def test_linemerge_chain_and_junction():
+    A = np.array([[0.0, 0.0], [1.0, 0.0]])
+    B = np.array([[1.0, 0.0], [2.0, 0.0]])
+    Brev = B[::-1]
+    C = np.array([[2.0, 0.0], [3.0, 0.0]])
+    # simple chain merges into one line
+    merged = kernels.linemerge([A, B, C])
+    assert len(merged) == 1
+    np.testing.assert_allclose(
+        merged[0], [[0, 0], [1, 0], [2, 0], [3, 0]]
+    )
+    # a reversed middle part still merges (ST_LineMerge reorients)
+    merged = kernels.linemerge([A, Brev, C])
+    assert len(merged) == 1 and merged[0].shape[0] == 4
+    # a 3-way junction does not merge at the junction node
+    D = np.array([[1.0, 0.0], [1.0, 1.0]])
+    merged = kernels.linemerge([A, B, D])
+    assert sorted(m.shape[0] for m in merged) in ([2, 3], [2, 2, 2])
+    # touching 2-part ring closes into one ring linestring
+    E = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]])
+    Fp = np.array([[1.0, 1.0], [0.0, 1.0], [0.0, 0.0]])
+    merged = kernels.linemerge([E, Fp])
+    assert len(merged) == 1
+    np.testing.assert_allclose(merged[0][0], merged[0][-1])
+
+
+def test_explode_lines_dissolves_touching_parts(spark):
+    # a multilinestring whose 2 parts touch: ST_LineMerge then dump -> ONE
+    # part, so a mid-blade splits it into 2 edges, not 3
+    parts = [
+        np.array([[-77.10, 38.80], [-77.08, 38.80]]),
+        np.array([[-77.08, 38.80], [-77.06, 38.80]]),
+    ]
+    mls = wkb.encode_multilinestring(parts)
+    crossing = line([[-77.09, 38.79], [-77.09, 38.81]])
+    roads = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, mls, 0, 0, None, "residential"),
+             (2, crossing, 0, 0, None, "residential")],
+            columns=["osm_id", "geom_wkb", "layer", "oneway", "maxspeed", "osm_type"],
+        )
+    )
+    exploded = routing.explode_lines(roads).toPandas()
+    assert len(exploded[exploded.osm_id == 1]) == 1  # dissolved into one part
+    edges, _ = routing.build_routing_network(roads)
+    e = edges.toPandas()
+    # merged way split once at the crossing -> 2 edges; crossing way -> 2
+    assert len(e[e.osm_id == 1]) == 2
+    assert len(e[e.osm_id == 2]) == 2
+
+
+def test_oversized_line_falls_back_to_coarse_cover(spark):
+    # a 30-degree way overflows the res-12 cell budget; it must not crash and
+    # must still find its crossing with a normal-sized way
+    long_way = line([[-100.0, 40.0], [-70.0, 40.0]])
+    short_way = line([[-77.0, 39.0], [-77.0, 41.0]])
+    roads = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, long_way, 0, 0, None, "primary"),
+             (2, short_way, 0, 0, None, "primary")],
+            columns=["osm_id", "geom_wkb", "layer", "oneway", "maxspeed", "osm_type"],
+        )
+    )
+    edges, vertices = routing.build_routing_network(roads)
+    e = edges.toPandas()
+    assert len(e[e.osm_id == 1]) == 2  # split at the single crossing
+    assert len(e[e.osm_id == 2]) == 2
+    assert vertices.filter(F.col("degree") == 4).count() == 1
+
+
+def test_oneway_attrs_not_broadcast_joined(spark, grid_roads):
+    # plan audit: the only EXPLICIT broadcast hint in the edge plan is the
+    # 25-row pgosm.road lookup (AQE may still pick broadcast strategies for
+    # tiny test inputs on its own — those disappear at scale; a hard hint on
+    # a road-sized side would not)
+    from pgosm_flex_spark.sources.lookup import pgosm_road
+
+    edges, _ = routing.build_routing_network(grid_roads, lookup=pgosm_road(spark))
+    logical = edges._jdf.queryExecution().optimizedPlan().toString()
+    assert logical.count("ResolvedHint") <= 1
+    edges_nolk, _ = routing.build_routing_network(grid_roads)
+    assert (
+        edges_nolk._jdf.queryExecution().optimizedPlan().toString().count("ResolvedHint")
+        == 0
+    )
