@@ -172,6 +172,163 @@ def q_poi_type_subtype_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# golden layer counts over the MIXED-geometry derived input — one query per
+# reference golden test table (/root/reference/tests/sql/*.sql): the engine
+# runs the real tag→schema CASE logic + geometry routing, the oracle reduces
+# to family/geometry arithmetic (td.MIXED_FAMILY_TAGS, td.derived_osm_objects_mixed)
+# ---------------------------------------------------------------------------
+
+# family → expected (osm_type, osm_subtype) per layer, mirroring the layer
+# registry's CASE chains (pgosm_flex_spark/layers/registry.py)
+_GOLDEN_FAMS: dict[str, dict[int, tuple[str, str | None]]] = {
+    "amenity": {
+        0: ("restaurant", "pizza"), 1: ("bench", None), 2: ("fuel", None),
+        3: ("bench", None), 4: ("brewery", None), 5: ("pub", None),
+        6: ("shelter", "basic_hut"), 9: ("cafe", None),
+    },
+    "building": {
+        10: ("building", "yes"), 11: ("building", "house"),
+        12: ("building_part", "roof"), 13: ("office", "lawyer"),
+        14: ("address", None), 17: ("door", "hinged"), 18: ("entrance", "main"),
+    },
+    "indoor": {
+        15: ("room", None), 16: ("corridor", None), 17: ("door", None),
+        18: ("entrance", None),
+    },
+    "infrastructure": {
+        19: ("emergency", "fire_hydrant"), 20: ("power", "tower"),
+        21: ("utility", None), 22: ("aeroway", "runway"),
+        23: ("water_tower", "water"),
+    },
+    "place": {31: ("city", None), 32: ("boundary", None)},
+    "poi": {
+        0: ("amenity", "restaurant"), 1: ("amenity", "bench"),
+        2: ("amenity", "fuel"), 5: ("amenity", "pub"), 6: ("amenity", "shelter"),
+        9: ("amenity", "cafe"), 7: ("shop", "bakery"), 8: ("shop", "supermarket"),
+        10: ("building", "yes"), 23: ("man_made", "water_tower"),
+    },
+    "public_transport": {
+        25: ("platform", None), 26: ("railway", "station"),
+        27: ("aerialway", "gondola"),
+    },
+    "road": {30: ("pedestrian", None)},
+    "shop": {
+        7: ("shop", "bakery"), 8: ("shop", "supermarket"),
+        5: ("amenity", "pub"), 9: ("amenity", "cafe"),
+    },
+    "water": {28: ("natural", "water"), 29: ("waterway", "river")},
+}
+
+# geometry routing in oracle arithmetic: g = id%4 (0 N, 1 W-open, 2 W-closed,
+# 3 R), r8 = id%8 (3 → poly-eligible relation, 7 → route relation)
+_GOLDEN_GEOM_SQL = {
+    "point": "g = 0",
+    "line": "g = 1",
+    "polygon": "(g = 2 OR r8 = 3)",          # closed ways + multipolygon rels
+    "polygon_all_rels": "g IN (2, 3)",        # place takes every relation
+    "way_or_rel": "g IN (1, 2, 3)",           # road_polygon (area ways + rels)
+    "combined_point": "(g = 0 OR g = 2 OR r8 = 3)",
+}
+
+# (query key, layer, table, geom key, with_subtype) — one per reference
+# golden test file
+_GOLDEN_TABLES: list[tuple[str, str, str, str, bool]] = [
+    ("amenity_point_counts", "amenity", "amenity_point", "point", False),
+    ("building_combined_point_counts", "building_combined_point",
+     "building_combined_point", "combined_point", True),
+    ("indoor_point_counts", "indoor", "indoor_point", "point", False),
+    ("indoor_line_counts", "indoor", "indoor_line", "line", False),
+    ("indoor_polygon_counts", "indoor", "indoor_polygon", "polygon", False),
+    ("infrastructure_point_counts", "infrastructure", "infrastructure_point", "point", True),
+    ("infrastructure_line_counts", "infrastructure", "infrastructure_line", "line", True),
+    ("infrastructure_polygon_counts", "infrastructure", "infrastructure_polygon", "polygon", True),
+    ("place_polygon_counts", "place", "place_polygon", "polygon_all_rels", False),
+    ("poi_point_counts", "poi", "poi_point", "point", True),
+    ("poi_polygon_counts", "poi", "poi_polygon", "polygon", True),
+    ("poi_combined_point_counts", "poi_combined_point", "poi_combined_point", "combined_point", True),
+    ("public_transport_point_counts", "public_transport", "public_transport_point", "point", True),
+    ("public_transport_line_counts", "public_transport", "public_transport_line", "line", True),
+    ("public_transport_polygon_counts", "public_transport", "public_transport_polygon", "polygon", True),
+    ("road_polygon_counts", "road", "road_polygon", "way_or_rel", False),
+    ("shop_point_counts", "shop", "shop_point", "point", True),
+    ("shop_polygon_counts", "shop", "shop_polygon", "polygon", True),
+    ("shop_combined_point_counts", "shop_combined_point", "shop_combined_point", "combined_point", True),
+    ("water_line_counts", "water", "water_line", "line", True),
+    ("water_polygon_counts", "water", "water_polygon", "polygon", True),
+]
+
+# combined_point builders live under their own layer key; map to the family
+# table used for expectations
+_GOLDEN_FAM_KEY = {
+    "building_combined_point": "building",
+    "poi_combined_point": "poi",
+    "shop_combined_point": "shop",
+}
+
+
+def _q_golden_counts(layer: str, table: str, with_subtype: bool):
+    from pgosm_flex_spark.layers.registry import LAYER_BUILDERS
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        osm = td.derived_osm_objects_mixed(spark, sf_dir)
+        df = LAYER_BUILDERS[layer](osm)[table]
+        keys = ["osm_type", "osm_subtype"] if with_subtype else ["osm_type"]
+        return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n")).orderBy(*keys)
+
+    return q
+
+
+def _golden_count_oracle(fams: dict[int, tuple[str, str | None]], geom_sql: str,
+                         with_subtype: bool) -> str:
+    fam_list = ", ".join(str(f) for f in sorted(fams))
+    type_case = "CASE fam " + " ".join(
+        f"WHEN {f} THEN '{t}'" for f, (t, _s) in sorted(fams.items())
+    ) + " END"
+    cols = f"{type_case} AS osm_type"
+    group = "1"
+    order = "1"
+    if with_subtype:
+        sub_whens = " ".join(
+            f"WHEN {f} THEN '{s}'" for f, (_t, s) in sorted(fams.items()) if s is not None
+        )
+        sub_case = (
+            f"CASE fam {sub_whens} ELSE CAST(NULL AS VARCHAR) END"
+            if sub_whens else "CAST(NULL AS VARCHAR)"
+        )
+        cols += f", {sub_case} AS osm_subtype"
+        group = "1, 2"
+        order = "1, 2"
+    return f"""
+        WITH o AS (
+            SELECT CAST(event_id % {td.MIXED_MOD} AS INT) AS fam,
+                   CAST(event_id % 4 AS INT) AS g,
+                   CAST(event_id % 8 AS INT) AS r8
+            FROM events)
+        SELECT {cols}, COUNT(*) AS n
+        FROM o WHERE fam IN ({fam_list}) AND {geom_sql}
+        GROUP BY {group} ORDER BY {order}
+    """
+
+
+def _golden_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        key: _q_golden_counts(layer, table, with_subtype)
+        for key, layer, table, _geom, with_subtype in _GOLDEN_TABLES
+    }
+
+
+def _oracle_golden() -> dict[str, str]:
+    return {
+        key: _golden_count_oracle(
+            _GOLDEN_FAMS[_GOLDEN_FAM_KEY.get(layer, layer)],
+            _GOLDEN_GEOM_SQL[geom],
+            with_subtype,
+        )
+        for key, layer, _table, geom, with_subtype in _GOLDEN_TABLES
+    }
+
+
 def q_scalar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     osm = td.derived_osm_objects(spark, sf_dir).filter(F.col("osm_id") < 300)
     t = F.col("tags")
@@ -448,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "lsh_ann_top3": q_lsh_ann_top3,
         "image_decode_stats": q_image_decode_stats,
+        **_golden_queries(),
     }
 
 
@@ -831,6 +989,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_oracle_relational())
     out.update(_oracle_docs())
     out.update(_oracle_routing())
+    out.update(_oracle_golden())
     # intentionally absent (rows-only checks): minhash_pairs, simhash_pairs,
     # doc_fingerprints (xxhash64/blake2b are engine-side hashes), lsh_ann_top3
     # (approximate by design), image_decode_stats (binary payloads)

@@ -135,6 +135,65 @@ CAPTION_SQL = (
 )
 
 
+# Mixed-geometry caption for the golden-count harness: one tag family per row
+# (event_id % 33) so every layer table's CASE logic reduces to closed-form
+# arithmetic in the DuckDB oracle, and a geometry mix (event_id % 4:
+# node / open way / closed way / relation) so point/line/polygon/combined
+# tables all receive rows — the reference's 25 golden count tests
+# (/root/reference/tests/sql/*.sql) all have this shape.
+MIXED_FAMILY_TAGS: dict[int, str] = {
+    0: "amenity=restaurant cuisine=pizza",
+    1: "amenity=bench",
+    2: "amenity=fuel",
+    3: "bench=yes",
+    4: "brewery=Brew%20Co",
+    5: "amenity=pub",
+    6: "amenity=shelter shelter_type=basic_hut",
+    7: "shop=bakery",
+    8: "shop=supermarket wheelchair=yes",
+    9: "amenity=cafe",
+    10: "building=yes name=Bldg%20A",
+    11: "building=house",
+    12: "building:part=roof",
+    13: "office=lawyer",
+    14: "addr:housenumber=5 addr:street=Oak%20St",
+    15: "indoor=room name=Room%201",
+    16: "indoor=corridor",
+    17: "door=hinged",
+    18: "entrance=main",
+    19: "emergency=fire_hydrant",
+    20: "power=tower",
+    21: "utility=gas",
+    22: "aeroway=runway",
+    23: "man_made=water_tower content=water",
+    24: "emergency=no",
+    25: "public_transport=platform",
+    26: "railway=station public_transport=station",
+    27: "aerialway=gondola",
+    28: "natural=water name=Lake%20X",
+    29: "waterway=river",
+    30: "highway=pedestrian area=yes",
+    31: "place=city admin_level=8",
+    32: "boundary=administrative admin_level=4",
+}
+MIXED_MOD = 33
+
+MIXED_CAPTION_SQL = (
+    "concat("
+    f"'lon=', cast({POINT_LON_SQL} as string), ' lat=', cast({POINT_LAT_SQL} as string), "
+    f"CASE cast(event_id % {MIXED_MOD} as int) "
+    + " ".join(
+        f"WHEN {fam} THEN ' {tags}'" for fam, tags in sorted(MIXED_FAMILY_TAGS.items())
+    )
+    + " ELSE '' END, "
+    # relations (event_id % 4 == 3) split into poly-eligible multipolygons
+    # (% 8 == 3) and non-poly route relations (% 8 == 7)
+    "CASE cast(event_id % 8 as int) WHEN 3 THEN ' type=multipolygon' "
+    "WHEN 7 THEN ' type=route' ELSE '' END"
+    ")"
+)
+
+
 # ---------------------------------------------------------------------------
 # Spark-side builders
 # ---------------------------------------------------------------------------
@@ -166,6 +225,31 @@ def derived_osm_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
         "osm_id",
         F.lit("W").alias("geom_type"),
         F.lit(False).alias("is_closed"),
+        "tags",
+        "lon",
+        "lat",
+        F.lit(None).cast("binary").alias("geom_wkb"),
+        F.lit(None).cast("array<long>").alias("member_ids"),
+    )
+
+
+def derived_osm_objects_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → osm-objects frame with MIXED geometry kinds: event_id % 4
+    routes each row to node (0) / open way (1) / closed way (2) / relation
+    (3), and relations carry type=multipolygon (% 8 == 3) or type=route
+    (% 8 == 7). One tag family per row (MIXED_FAMILY_TAGS), so every layer
+    table's golden count has a CASE-arithmetic DuckDB oracle."""
+    from pgosm_flex_spark.functions import tags as tagf
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("osm_id"), F.expr(MIXED_CAPTION_SQL).alias("caption")
+    )
+    parsed = tagf.with_tags(ev)
+    g = (F.col("osm_id") % 4).cast("int")
+    return parsed.select(
+        "osm_id",
+        F.when(g == 0, F.lit("N")).when(g == 3, F.lit("R")).otherwise(F.lit("W")).alias("geom_type"),
+        (g == 2).alias("is_closed"),
         "tags",
         "lon",
         "lat",
