@@ -112,6 +112,28 @@ def q_knn3_nearest_cities(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id", "knn_rank")
 
 
+def q_knn3_adaptive_cities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same task as knn3_nearest_cities but through the single-pass
+    density-routed adaptive operator — value-verified against the same
+    brute-force oracle."""
+    from pgosm_flex_spark.operators.knn import knn_join_adaptive
+
+    pts = td.derived_points(spark, sf_dir).filter(F.col("event_id") % 37 == 0)
+    b = td.cell_bounds_sql("n_nationkey")
+    centers = td.load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("city_key"),
+        F.expr(f"(({b['x0']} + {b['x1']}) / 2)").alias("lon"),
+        F.expr(f"(({b['y0']} + {b['y1']}) / 2)").alias("lat"),
+    )
+    out = knn_join_adaptive(
+        pts, centers, k=3, point_id="event_id", feature_id="city_key"
+    )
+    return out.select(
+        "event_id", F.col("knn_rank").cast("int").alias("knn_rank"),
+        F.col("city_key").cast("int").alias("city_key"),
+    ).orderBy("event_id", "knn_rank")
+
+
 def q_tile_counts_z12(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = td.derived_points(spark, sf_dir)
     return tile_counts(pts, zoom=12)
@@ -579,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_admin_rollup": q_pip_admin_rollup,
         "nested_admin_paths": q_nested_admin_paths,
         "knn3_nearest_cities": q_knn3_nearest_cities,
+        "knn3_adaptive_cities": q_knn3_adaptive_cities,
         "tile_counts_z12": q_tile_counts_z12,
         "cell_counts_res12": q_cell_counts_res12,
         "road_type_counts": q_road_type_counts,
@@ -685,6 +708,7 @@ def _oracle_spatial() -> dict[str, str]:
         "pip_admin_rollup": pip_rollup,
         "nested_admin_paths": nested,
         "knn3_nearest_cities": knn,
+        "knn3_adaptive_cities": knn,
         "tile_counts_z12": tiles12,
         "cell_counts_res12": cells9,
     }

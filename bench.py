@@ -118,6 +118,7 @@ def main() -> None:
         lambda: knn_join_adaptive(
             pts, feats, k=3, point_id="image_id", feature_id="feat_id"
         ).count(),
+        reps=repeat,  # shared-host noise swings identical runs 3-8x
     )
 
     # ---- text dedup + ANN on the real testdata tables

@@ -18,6 +18,8 @@ nearest-neighbor distance (ring_radius ≈ ring × cell_width(res)).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -70,8 +72,25 @@ def topk_per_point(
     def stream(batches):
         # contract: a point's candidate rows are contiguous within the
         # partition (explode + broadcast join preserve probe order), so only
-        # the group straddling a batch boundary needs carrying
+        # the group straddling a batch boundary needs carrying. The contract
+        # is VERIFIED, not assumed: every flushed pid is remembered and a
+        # reappearance raises instead of silently emitting duplicate ranks
+        # (a plan change that interleaves pids must fail loudly).
         carry: pd.DataFrame | None = None
+        seen: set = set()
+
+        def check_and_flush(group: pd.DataFrame):
+            new_pids = pd.unique(group[pid_col])
+            for p in new_pids:
+                if p in seen:
+                    raise RuntimeError(
+                        f"topk_per_point contiguity contract violated: point "
+                        f"{p!r} reappeared after its group was closed — use "
+                        f"the window-based knn_join path for this plan"
+                    )
+                seen.add(p)
+            return _topk(group)
+
         for b in batches:
             if len(b) == 0:
                 continue
@@ -79,15 +98,15 @@ def topk_per_point(
                 if b[pid_col].iloc[0] == carry[pid_col].iloc[0]:
                     b = pd.concat([carry, b], ignore_index=True)
                 else:
-                    yield _topk(carry)
+                    yield check_and_flush(carry)
             last_pid = b[pid_col].iloc[-1]
             is_last = (b[pid_col] == last_pid).to_numpy()
             carry = b.loc[is_last]
             main = b.loc[~is_last]
             if len(main):
-                yield _topk(main)
+                yield check_and_flush(main)
         if carry is not None and len(carry):
-            yield _topk(carry)
+            yield check_and_flush(carry)
 
     return cand.mapInPandas(stream, schema=schema)
 
@@ -98,89 +117,192 @@ def knn_join_adaptive(
     k: int,
     point_id: str = "image_id",
     feature_id: str = "osm_id",
-    res_levels: tuple[int, ...] = (19, 16, 13, 10),
+    res_levels: tuple[int, ...] = tuple(range(22, 9, -1)),
     lon: str = "lon",
     lat: str = "lat",
     f_lon: str = "lon",
     f_lat: str = "lat",
+    search_offset: int = 2,
 ) -> DataFrame:
-    """Exact kNN that adapts cell resolution to local feature density — the
-    skew answer for dense urban cells (SURVEY.md §7.3): a hot disc holding
-    30% of all features would make a single-resolution ring join explode;
-    here dense points resolve at fine resolutions with tiny rings while
-    sparse points escalate to coarser cells.
+    """Exact kNN with a per-point cell resolution picked from the local
+    feature density — the skew answer for dense urban cells (SURVEY.md §7.3):
+    dense points search tiny fine-res rings, sparse points coarse ones.
 
-    Correctness invariant per pass (ring=1 at resolution r): a point's
-    result is accepted only if it found ≥k candidates AND its k-th candidate
-    distance ≤ the guaranteed covered radius (one full cell width in the
-    worst case — the 3×3 block always extends at least one cell beyond the
-    point's own cell). Otherwise the point escalates to the next coarser
-    level; the final level accepts unconditionally (callers size the
-    coarsest level to cover the domain).
+    SINGLE PASS over the point side (the round-1 multi-pass escalation design
+    re-processed most points ~4× and anti-scaled with cores):
+
+    1. Feature side only (tiny, broadcastable): per level r, the count of
+       features in the 3×3 ring around every occupied cell — built by
+       exploding each feature cell's 9 neighbors and re-aggregating, so a
+       point cell's lookup answers "features in MY 3×3 ring" exactly.
+    2. Points take one chained broadcast-left-join per level (map-side, no
+       shuffle) and pick r* = finest level whose ring holds ≥ k features
+       (else the coarsest level) — all JVM CASE logic.
+    3. One ring explode at s = r* − search_offset and one broadcast join
+       against feature buckets at every s level (mixed resolutions share one
+       join: the cell id encodes its level), then the streaming top-k.
+
+    Exactness: ≥ k features inside the 3×3 ring at r* bound the true k-th
+    neighbor by the ring diameter ≤ 2·√2·c(r*) from the point (point inside
+    the center cell, candidates within the 3×3 block). The search ring at
+    s = r*−2 is guaranteed to cover ≥ 1 cell width at s = 4·c(r*) ≥ 2.83·c(r*)
+    in grid distance; mercator conformality makes meter distance locally
+    proportional to grid distance (distortion ≪ the 1.41× margin below
+    |lat| 85°), so every true k-nearest feature is inside the searched ring.
+    Points whose coarsest ring holds < k features keep the old semantics:
+    search s = coarsest−2 (a superset of the old coarsest ring) and accept.
+    Ties: (distance, feature_id), as in the reference's ``<->`` ordering.
+
+    Candidate volume is bounded by the LEVEL STEP: with step-1 levels,
+    ring_count(r*) ≲ 4k (one level finer already held < k), and the searched
+    area is 16× the r* ring, so ≈ 64k candidates per point INDEPENDENT of
+    local density — a 30%-of-corpus hot disc costs dense points the same as
+    sparse ones (coarser steps trade fewer broadcast joins for a 4×/step
+    candidate multiplier; sub-finest-cell feature clusters are the one
+    escape, bounded by co-located ties).
     """
+    levels = sorted(set(res_levels), reverse=True)  # finest first
     feats = features.select(
         F.col(feature_id).alias("__fid"),
         F.col(f_lon).alias("__flon"),
         F.col(f_lat).alias("__flat"),
-    ).persist()
+    )
 
-    remaining = points.select(
+    # 1. ring-density map across all levels: features come to the driver
+    # (broadcastable by assumption — the same assumption every broadcast join
+    # here makes) and the map is pure numpy: each feature votes +1 into the
+    # ring-count of its cell's 9 neighbors at every level. Catalyst
+    # higher-order exprs for the same job measured 1 ms/row — 2000× slower.
+    spark = points.sparkSession
+    fp = feats.select("__flon", "__flat").toPandas()
+    flon_a = fp["__flon"].to_numpy(dtype=np.float64)
+    flat_a = fp["__flat"].to_numpy(dtype=np.float64)
+    ring_cells = []
+    for r in levels:
+        x, y = cells.xy_of_points(flon_a, flat_a, r)
+        n = 1 << r
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                ny = y + dy
+                keep = (ny >= 0) & (ny < n)
+                ring_cells.append(cells.pack((x[keep] + dx) % n, ny[keep], r))
+    all_cells, counts = np.unique(np.concatenate(ring_cells), return_counts=True)
+    density_bc = spark.sparkContext.broadcast((all_cells, counts.astype(np.int64)))
+
+    # 2. per-point level pick: ONE vectorized pandas UDF (numpy searchsorted
+    # over the sorted density map — 13 lookups/point, no joins, no shuffle).
+    # Emits s = r*−offset and the kth-distance bound: with ≥k features in the
+    # 3×3 ring at r*, the true k-th neighbor is within √8·c(r*) (grid
+    # distance); metric bound adds a 1.25 safety factor over ground cell
+    # width. Points whose coarsest ring holds <k get an infinite bound
+    # (accept-all semantics).
+    lv = list(levels)
+    koff = search_offset
+
+    @F.pandas_udf("struct<s:int, bound:double>")
+    def _pick_level(plon: "pd.Series", plat: "pd.Series") -> "pd.DataFrame":
+        sorted_cells, cnts = density_bc.value
+        lon_a = plon.to_numpy(dtype=np.float64)
+        lat_a = plat.to_numpy(dtype=np.float64)
+        r_star = np.full(lon_a.shape[0], lv[-1], dtype=np.int64)
+        has_bound = np.zeros(lon_a.shape[0], dtype=bool)
+        for r in lv[::-1]:  # coarsest → finest so the finest hit wins
+            cell_r = cells.cells_of_points(lon_a, lat_a, r)
+            idx = np.searchsorted(sorted_cells, cell_r)
+            idx_c = np.minimum(idx, len(sorted_cells) - 1)
+            cnt = np.where(sorted_cells[idx_c] == cell_r, cnts[idx_c], 0)
+            ok = cnt >= k
+            r_star = np.where(ok, r, r_star)
+            has_bound |= ok
+        cell_m = 40_075_016.7 * np.cos(np.radians(lat_a)) / (2.0 ** r_star)
+        bound = np.where(has_bound, 2.8284271247461903 * 1.25 * cell_m, np.inf)
+        s = np.maximum(r_star - koff, 1).astype(np.int32)
+        return pd.DataFrame({"s": s, "bound": bound})
+
+    pts = points.select(
         F.col(point_id).alias("__pid"),
         F.col(lon).alias("__plon"),
         F.col(lat).alias("__plat"),
+        _pick_level(F.col(lon), F.col(lat)).alias("__pick"),
     )
-    resolved_parts: list[DataFrame] = []
-    for level_i, res in enumerate(res_levels):
-        is_last = level_i == len(res_levels) - 1
-        fcell = feats.withColumn(
-            "__fcell", cells.cell_col(F.col("__flon"), F.col("__flat"), res)
-        )
-        pts = remaining.withColumn(
-            "__pcell", cells.cell_col(F.col("__plon"), F.col("__plat"), res)
-        )
-        ringed = pts.withColumn(
-            "__cell", F.explode(cells.kring_col(F.col("__pcell"), 1, res))
-        )
-        cand = ringed.join(F.broadcast(fcell), ringed["__cell"] == fcell["__fcell"])
-        cand = cand.withColumn(
-            "__dist",
-            haversine_m_col(F.col("__plon"), F.col("__plat"), F.col("__flon"), F.col("__flat")),
-        ).select("__pid", "__plon", "__plat", "__fid", "__dist")
-        topk = topk_per_point(cand, "__pid", "__dist", "__fid", k).persist()
-        per_point = topk.groupBy("__pid", "__plon", "__plat").agg(
-            F.count(F.lit(1)).alias("__n"), F.max("__dist").alias("__kth")
-        )
-        if is_last:
-            ok_ids = per_point.select("__pid")
-        else:
-            # guaranteed covered radius: one cell width in meters at this
-            # latitude (conservative: min of x/y extents of the mercator cell)
-            cell_deg = 360.0 / (1 << res)
-            guaranteed_m = (
-                F.lit(cell_deg)
-                * F.lit(111_319.49)
-                * F.cos(F.radians(F.col("__plat")))
-                * F.lit(0.95)
-            )
-            ok_ids = per_point.filter(
-                (F.col("__n") >= k) & (F.col("__kth") <= guaranteed_m)
-            ).select("__pid")
-        resolved_parts.append(
-            topk.join(F.broadcast(ok_ids), "__pid").select(
-                F.col("__pid").alias(point_id),
-                F.col("__fid").alias(feature_id),
-                F.col("__dist").alias("distance_m"),
-                "knn_rank",
-            )
-        )
-        if is_last:
-            break
-        remaining = remaining.join(F.broadcast(ok_ids), "__pid", "left_anti")
 
-    out = resolved_parts[0]
-    for p in resolved_parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # 3. ring explode at s with plain column arithmetic (no per-row array
+    # building), then ONE broadcast equi-join against feature buckets at
+    # every search level
+    s_col = F.col("__pick.s")
+    n_s = F.pow(F.lit(2.0), s_col.cast("double"))
+    px = F.least(F.greatest(F.floor(cells.merc_x_col(F.col("__plon")) * n_s), F.lit(0)), n_s.cast("long") - 1)
+    py = F.least(F.greatest(F.floor(cells.merc_y_col(F.col("__plat")) * n_s), F.lit(0)), n_s.cast("long") - 1)
+    slim = pts.select(
+        "__pid", "__plon", "__plat",
+        s_col.alias("__s"), n_s.cast("long").alias("__n"),
+        px.cast("long").alias("__px"), py.cast("long").alias("__py"),
+        (cells.merc_x_col(F.col("__plon")) * n_s).alias("__mx"),
+        (cells.merc_y_col(F.col("__plat")) * n_s).alias("__my"),
+        F.col("__pick.bound").alias("__bound"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    # cell-level prune: a ring cell whose nearest edge is already beyond the
+    # kth-distance bound cannot hold a top-k candidate — skip its join probe
+    # entirely (the 0.95 slack keeps the estimate conservative vs haversine)
+    cx = (F.col("__px") + F.col("__o.dx")).cast("double")
+    cy = (F.col("__py") + F.col("__o.dy")).cast("double")
+    gap_x = F.greatest(F.lit(0.0), cx - F.col("__mx"), F.col("__mx") - (cx + 1))
+    gap_y = F.greatest(F.lit(0.0), cy - F.col("__my"), F.col("__my") - (cy + 1))
+    grid_to_m = (
+        F.lit(40_075_016.7) * F.cos(F.radians(F.col("__plat"))) / F.col("__n").cast("double")
+    )
+    min_dist_m = F.hypot(gap_x, gap_y) * grid_to_m * F.lit(0.95)
+    ringed = (
+        slim.withColumn("__o", F.explode(offsets))
+        .withColumn("__ny", F.col("__py") + F.col("__o.dy"))
+        .filter((F.col("__ny") >= 0) & (F.col("__ny") < F.col("__n")))
+        .filter(min_dist_m <= F.col("__bound"))
+        .withColumn(
+            "__cell",
+            F.col("__s").cast("long") * F.lit(1 << 58).cast("long")
+            + F.pmod(F.col("__px") + F.col("__o.dx"), F.col("__n")).cast("long")
+            * F.lit(1 << 29).cast("long")
+            + F.col("__ny").cast("long"),
+        )
+        .select("__pid", "__plon", "__plat", "__bound", "__cell")
+    )
+
+    s_levels = sorted({max(r - search_offset, 1) for r in levels})
+    fbuckets = feats.withColumn(
+        "__cell",
+        F.explode(
+            F.array(
+                *[cells.cell_col(F.col("__flon"), F.col("__flat"), s) for s in s_levels]
+            )
+        ),
+    )
+    cand = ringed.join(F.broadcast(fbuckets), "__cell")
+    cand = (
+        cand.withColumn(
+            "__dist",
+            haversine_m_col(
+                F.col("__plon"), F.col("__plat"), F.col("__flon"), F.col("__flat")
+            ),
+        )
+        # JVM-side prune: beyond the kth-distance bound a candidate can never
+        # enter the top-k — cuts the Arrow/Python volume several-fold
+        .filter(F.col("__dist") <= F.col("__bound"))
+        .select("__pid", "__fid", "__dist")
+    )
+    topk = topk_per_point(cand, "__pid", "__dist", "__fid", k)
+    return topk.select(
+        F.col("__pid").alias(point_id),
+        F.col("__fid").alias(feature_id),
+        F.col("__dist").alias("distance_m"),
+        "knn_rank",
+    )
 
 
 def knn_join(
