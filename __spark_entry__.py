@@ -95,6 +95,18 @@ def q_nested_admin_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("osm_id")
 
 
+def q_concave_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ST_Within over concave (L-shaped) containers: the straddler
+    child (centroid inside, one corner poking out of the notch) must NOT
+    nest — a centroid+bbox approximation wrongly accepts it
+    (place_polygon_nested.sql:122 ST_Within semantics)."""
+    world = td.concave_world(spark, sf_dir)
+    nested = build_nested_admin_polygons(world)
+    return nested.select(
+        "osm_id", F.col("nest_level").cast("long").alias("nest_level"), "innermost"
+    ).orderBy("osm_id")
+
+
 def q_knn3_nearest_cities(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = td.derived_points(spark, sf_dir).filter(F.col("event_id") % 37 == 0)
     b = td.cell_bounds_sql("n_nationkey")
@@ -600,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_city_counts": q_pip_city_counts,
         "pip_admin_rollup": q_pip_admin_rollup,
         "nested_admin_paths": q_nested_admin_paths,
+        "concave_nested": q_concave_nested,
         "knn3_nearest_cities": q_knn3_nearest_cities,
         "knn3_adaptive_cities": q_knn3_adaptive_cities,
         "tile_counts_z12": q_tile_counts_z12,
@@ -674,6 +687,21 @@ def _oracle_spatial() -> dict[str, str]:
         FROM nation n JOIN region r ON r.r_regionkey = n.n_nationkey % 5
         ORDER BY osm_id
     """
+    # concave_world truth is id arithmetic: containers nest only themselves
+    # (level 1, not innermost — children cite them); quadrant children q=0,2,3
+    # nest under their container (level 2); q=1 (removed quadrant) and q=4
+    # (straddler) nest only themselves
+    concave = """
+        SELECT 500 + n_nationkey AS osm_id, CAST(1 AS BIGINT) AS nest_level,
+               FALSE AS innermost
+        FROM nation
+        UNION ALL
+        SELECT 1000 + 8 * n_nationkey + q,
+               CASE WHEN q IN (0, 2, 3) THEN 2 ELSE 1 END,
+               TRUE
+        FROM nation, (VALUES (0), (1), (2), (3), (4)) AS t(q)
+        ORDER BY osm_id
+    """
     dist = td.haversine_sql("p.lon", "p.lat", "c.lon", "c.lat")
     knn = f"""
         WITH p AS ({pts}),
@@ -707,6 +735,7 @@ def _oracle_spatial() -> dict[str, str]:
         "pip_city_counts": pip_city,
         "pip_admin_rollup": pip_rollup,
         "nested_admin_paths": nested,
+        "concave_nested": concave,
         "knn3_nearest_cities": knn,
         "knn3_adaptive_cities": knn,
         "tile_counts_z12": tiles12,

@@ -130,6 +130,74 @@ def line_length_m(geom: wkb_mod.Geom) -> float:
     return total
 
 
+def points_on_boundary(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray],
+                       eps: float = 1e-9) -> np.ndarray:
+    """bool (n,): point within ``eps`` of any ring segment (ST_Boundary
+    contact). eps is in coordinate units; 1e-9° ≈ 0.1 mm on the ground."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    out = np.zeros(px.shape[0], dtype=bool)
+    for ring in rings:
+        x0, y0 = ring[:-1, 0], ring[:-1, 1]
+        dx, dy = ring[1:, 0] - x0, ring[1:, 1] - y0
+        wx = px[:, None] - x0
+        wy = py[:, None] - y0
+        l2 = dx * dx + dy * dy
+        t = np.clip((wx * dx + wy * dy) / np.where(l2 == 0, 1.0, l2), 0.0, 1.0)
+        ex = wx - t * dx
+        ey = wy - t * dy
+        out |= ((ex * ex + ey * ey) <= eps * eps).any(axis=1)
+    return out
+
+
+def segment_proper_crossings(
+    a0: np.ndarray, a1: np.ndarray, b0: np.ndarray, b1: np.ndarray
+) -> bool:
+    """True iff any segment of A properly CROSSES a segment of B — the
+    intersection point is strictly interior to both segments. Endpoint
+    touches and collinear overlaps are NOT crossings (boundary contact is
+    allowed by ST_Within)."""
+    da = a1 - a0
+    db = b1 - b0
+    denom = da[:, None, 0] * db[None, :, 1] - da[:, None, 1] * db[None, :, 0]
+    diff = b0[None, :, :] - a0[:, None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (diff[:, :, 0] * db[None, :, 1] - diff[:, :, 1] * db[None, :, 0]) / denom
+        u = (diff[:, :, 0] * da[:, None, 1] - diff[:, :, 1] * da[:, None, 0]) / denom
+    eps = 1e-12
+    return bool(
+        (
+            (np.abs(denom) > eps)
+            & (t > eps) & (t < 1 - eps)
+            & (u > eps) & (u < 1 - eps)
+        ).any()
+    )
+
+
+def polygon_within(child: wkb_mod.Geom, container: wkb_mod.Geom) -> bool:
+    """ST_Within(child_polygon, container_polygon)
+    (/root/reference/flex-config/sql/place_polygon_nested.sql:122): every
+    child boundary vertex inside OR on the container boundary (PostGIS allows
+    boundary contact — a city on a state line is within the state), and no
+    child edge properly crosses a container edge (catches an edge dipping
+    through a concave notch while both endpoints stay inside). Even-odd over
+    all rings makes holes and concave notches reject. Degenerate tangencies
+    (an edge crossing exactly through a container vertex, a child exactly
+    filling a hole) are undefined at float precision — documented
+    divergence (SURVEY §7.3)."""
+    verts = np.concatenate(child.rings, axis=0)
+    inside = points_in_rings(verts[:, 0], verts[:, 1], container.rings)
+    if not inside.all():
+        on_b = points_on_boundary(verts[:, 0], verts[:, 1], container.rings)
+        if not (inside | on_b).all():
+            return False
+    c0 = np.concatenate([r[:-1] for r in child.rings], axis=0)
+    c1 = np.concatenate([r[1:] for r in child.rings], axis=0)
+    g0 = np.concatenate([r[:-1] for r in container.rings], axis=0)
+    g1 = np.concatenate([r[1:] for r in container.rings], axis=0)
+    return not segment_proper_crossings(c0, c1, g0, g1)
+
+
 # ---------------------------------------------------------------------------
 # linemerge (ST_LineMerge, /root/reference/db/deploy/routing_functions.sql:63)
 # ---------------------------------------------------------------------------

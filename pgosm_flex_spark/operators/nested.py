@@ -14,21 +14,27 @@ Re-expresses /root/reference/flex-config/sql/place_polygon_nested.sql:
 - ``innermost`` (lines 156-172): row_innermost AND the id appears in no
   *other* row's osm_id_path.
 
-Polygon-within-polygon is evaluated as (child centroid inside container) AND
-(child bbox ⊆ container bbox) — exact for strictly nested admin hierarchies
-and for any convex containers; it mirrors PostGIS's bbox-prefilter + exact
-plan shape. Divergence from full ST_Within is possible only for concave
-partial overlaps (documented, SURVEY.md §7.3). The reference's LIMIT-100 batched loop (lines 96-150) is
-unnecessary set-at-once in Spark; its restart property lives in
-plans/checkpoint.py instead. Path ties at equal admin_level are broken by
-(name, osm_id) for determinism (the reference leaves them unordered).
+Polygon-within-polygon runs PostGIS's plan shape: cheap prefilter (child
+centroid inside container via the cell-indexed PIP join, then child bbox ⊆
+container bbox) followed by the EXACT ST_Within test
+(kernels.polygon_within: all child vertices inside + no boundary crossing)
+on the surviving pairs only — concave containers (an L-shaped county whose
+bbox covers a neighboring town) reject correctly. The reference's LIMIT-100
+batched loop (lines 96-150) is unnecessary set-at-once in Spark; its restart
+property lives in plans/checkpoint.py instead. Path ties at equal
+admin_level are broken by (name, osm_id) for determinism (the reference
+leaves them unordered).
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pgosm_flex_spark.geometry import kernels, wkb as wkb_mod
 from pgosm_flex_spark.geometry.udfs import bbox_udf, centroid_udf
 from pgosm_flex_spark.operators.pip_join import pip_join
 
@@ -87,13 +93,48 @@ def build_nested_admin_polygons(
         F.col("admin_level").alias("c_admin_level"),
         F.col("name").alias("c_name"),
         F.col("__b").alias("container_bbox"),
+        F.col("geom_wkb").alias("container_wkb"),
     )
-    enriched = pairs.join(F.broadcast(containers), "container_id").filter(
+    prefiltered = pairs.join(F.broadcast(containers), "container_id").filter(
         (F.col("child_bbox.xmin") >= F.col("container_bbox.xmin"))
         & (F.col("child_bbox.ymin") >= F.col("container_bbox.ymin"))
         & (F.col("child_bbox.xmax") <= F.col("container_bbox.xmax"))
         & (F.col("child_bbox.ymax") <= F.col("container_bbox.ymax"))
     )
+    # EXACT ST_Within on the surviving pairs (self-pairs are within by
+    # definition and skip the geometry test — their vertices lie ON the
+    # boundary, which strict interiority would reject)
+    child_geoms = polys.select(
+        F.col(id_col).alias("child_id"), F.col("geom_wkb").alias("child_wkb")
+    )
+    cand = prefiltered.join(child_geoms, "child_id")
+    within_schema = "child_id long, container_id long, c_admin_level int, c_name string"
+
+    def exact_within(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            keep = []
+            for i, row in enumerate(b.itertuples(index=False)):
+                if row.child_id == row.container_id:
+                    keep.append(i)
+                    continue
+                child = wkb_mod.decode(bytes(row.child_wkb))
+                container = wkb_mod.decode(bytes(row.container_wkb))
+                if kernels.polygon_within(child, container):
+                    keep.append(i)
+            out = b.iloc[keep]
+            yield pd.DataFrame(
+                {
+                    "child_id": out["child_id"],
+                    "container_id": out["container_id"],
+                    "c_admin_level": out["c_admin_level"],
+                    "c_name": out["c_name"],
+                }
+            )
+
+    enriched = cand.select(
+        "child_id", "container_id", "c_admin_level", "c_name",
+        "child_wkb", "container_wkb",
+    ).mapInPandas(exact_within, schema=within_schema)
 
     # A1: ordered path arrays — order encoded in the struct sort key
     paths = enriched.groupBy("child_id").agg(

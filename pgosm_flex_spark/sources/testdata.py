@@ -62,11 +62,14 @@ def cell_bounds_sql(key: str) -> dict[str, str]:
 
 
 def strip_bounds_sql(key: str) -> dict[str, str]:
+    # y pad is HALF the country's PAD_C so strips nest STRICTLY inside the
+    # country polygon (exact ST_Within rejects shared boundary segments);
+    # oracle point-in-strip tests use x only, so y pads never affect counts
     return {
         "x0": f"({LON0} + {key} * {STRIP_W} - {PAD_S})",
         "x1": f"({LON0} + ({key} + 1) * {STRIP_W} + {PAD_S})",
-        "y0": f"({LAT0} - {PAD_C})",
-        "y1": f"({LAT0 + LAT_SPAN} + {PAD_C})",
+        "y0": f"({LAT0} - {PAD_C / 2})",
+        "y1": f"({LAT0 + LAT_SPAN} + {PAD_C / 2})",
     }
 
 
@@ -304,6 +307,50 @@ def _rect(x0: float, y0: float, x1: float, y1: float) -> bytes:
     return wkb.encode_polygon([ring])
 
 
+def concave_world(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-shaped containers + small child rectangles per nation cell — the
+    concave-containment oracle world. Container k (osm_id 500+k) is cell k
+    minus its NE quadrant; children (osm_id 1000+8k+q) are w/8-sized rects:
+    q=0 NW, q=1 NE (in the removed quadrant → NOT within), q=2 SW, q=3 SE,
+    q=4 a straddler whose centroid is inside but whose NE corner pokes into
+    the removed quadrant — the case a centroid+bbox approximation of
+    ST_Within wrongly accepts. Truth is pure id arithmetic for the oracle."""
+    nations = load(spark, sf_dir, "nation").select("n_nationkey").collect()
+    rows = []
+    for n in nations:
+        k = int(n["n_nationkey"])
+        x0 = LON0 + (k % 5) * STRIP_W + PAD
+        x1 = LON0 + (k % 5) * STRIP_W + STRIP_W - PAD
+        y0 = LAT0 + np.floor(k / 5) * CELL_H + PAD
+        y1 = LAT0 + np.floor(k / 5) * CELL_H + CELL_H - PAD
+        w, h = x1 - x0, y1 - y0
+        cx, cy = x0 + w / 2, y0 + h / 2
+        ring = np.array(
+            [[x0, y0], [x1, y0], [x1, cy], [cx, cy], [cx, y1], [x0, y1], [x0, y0]]
+        )
+        rows.append(
+            (500 + k, f"L-{k}", "boundary", "administrative", 8,
+             wkb.encode_polygon([ring]), None)
+        )
+        centers = [
+            (x0 + w / 4, y0 + 3 * h / 4),   # q=0 NW: within
+            (x0 + 3 * w / 4, y0 + 3 * h / 4),  # q=1 NE: outside (removed quadrant)
+            (x0 + w / 4, y0 + h / 4),       # q=2 SW: within
+            (x0 + 3 * w / 4, y0 + h / 4),   # q=3 SE: within
+            (cx - w / 32, cy - h / 32),     # q=4 straddler: NOT within
+        ]
+        for q, (ccx, ccy) in enumerate(centers):
+            rows.append(
+                (1000 + 8 * k + q, f"child-{k}-{q}", "boundary", "administrative", 10,
+                 _rect(ccx - w / 16, ccy - h / 16, ccx + w / 16, ccy + h / 16), None)
+            )
+    return spark.createDataFrame(
+        rows,
+        schema="osm_id long, name string, osm_type string, boundary string, "
+        "admin_level int, geom_wkb binary, member_ids array<long>",
+    )
+
+
 def admin_world(spark: SparkSession, sf_dir: str) -> DataFrame:
     """country + region strips + nation cells as a place_polygon-shaped frame.
 
@@ -325,7 +372,7 @@ def admin_world(spark: SparkSession, sf_dir: str) -> DataFrame:
         x1 = LON0 + (k + 1) * STRIP_W + PAD_S
         rows.append(
             (10 + k, r["r_name"], "boundary", "administrative", 4,
-             _rect(x0, LAT0 - PAD_C, x1, LAT0 + LAT_SPAN + PAD_C), None)
+             _rect(x0, LAT0 - PAD_C / 2, x1, LAT0 + LAT_SPAN + PAD_C / 2), None)
         )
     for n in nations:
         k = n["n_nationkey"]

@@ -179,3 +179,35 @@ def test_segment_pair_parallel_skipped():
     b1 = np.array([[3.0, 0.0]])
     pts, _ = kernels.segment_pair_intersections(a0, a1, b0, b1)
     assert pts.shape[0] == 0
+
+
+def test_polygon_within_concave_and_holes():
+    import numpy as np
+    from pgosm_flex_spark.geometry import kernels, wkb
+
+    def rect(x0, y0, x1, y1):
+        return wkb.decode(wkb.encode_polygon(
+            [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])]
+        ))
+
+    # L-shape: unit square minus NE quadrant
+    L = wkb.decode(wkb.encode_polygon([np.array(
+        [[0, 0], [1, 0], [1, 0.5], [0.5, 0.5], [0.5, 1], [0, 1], [0, 0]], dtype=float
+    )]))
+    assert kernels.polygon_within(rect(0.1, 0.1, 0.3, 0.3), L)       # SW arm
+    assert kernels.polygon_within(rect(0.1, 0.6, 0.3, 0.9), L)       # NW arm
+    assert not kernels.polygon_within(rect(0.6, 0.6, 0.9, 0.9), L)   # removed NE
+    # straddler: centroid inside, NE corner pokes into the notch
+    assert not kernels.polygon_within(rect(0.35, 0.35, 0.6, 0.6), L)
+    # all vertices inside but an edge crossing the notch boundary:
+    # thin horizontal bar through the notch at y=0.45..0.48 stays inside;
+    # one at y ∈ [0.45, 0.55] crosses
+    assert kernels.polygon_within(rect(0.1, 0.42, 0.9, 0.48), L)
+    assert not kernels.polygon_within(rect(0.1, 0.45, 0.9, 0.55), L)
+    # hole: child inside the hole is NOT within
+    donut = wkb.decode(wkb.encode_polygon([
+        np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], dtype=float),
+        np.array([[0.4, 0.4], [0.6, 0.4], [0.6, 0.6], [0.4, 0.6], [0.4, 0.4]], dtype=float),
+    ]))
+    assert not kernels.polygon_within(rect(0.45, 0.45, 0.55, 0.55), donut)
+    assert kernels.polygon_within(rect(0.1, 0.1, 0.3, 0.3), donut)

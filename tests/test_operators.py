@@ -96,24 +96,17 @@ def test_nested_admin_polygons(world):
     nested = build_nested_admin_polygons(world["place_polygon"]).cache()
     rows = {r["osm_id"]: r for r in nested.collect()}
 
-    # brute-force oracle: (centroid inside container) AND (bbox ⊆ bbox) —
-    # the operator's documented polygon-within-polygon rule
+    # brute-force oracle: exact ST_Within over every polygon pair (self
+    # included — ST_Within(p, p) is true), same semantics the operator's
+    # prefilter + exact-verify pipeline must reproduce
     polys_pd = world["place_polygon"].select("osm_id", "geom_wkb").toPandas()
     geoms = {int(r["osm_id"]): wkb.decode(bytes(r["geom_wkb"])) for _, r in polys_pd.iterrows()}
-    cents = {pid: kernels.centroid(g) for pid, g in geoms.items()}
-
-    def bbox_within(inner, outer):
-        return (
-            inner[0] >= outer[0] and inner[1] >= outer[1]
-            and inner[2] <= outer[2] and inner[3] <= outer[3]
-        )
 
     exp_containers: dict[int, set[int]] = {}
-    for pid, (cx, cy) in cents.items():
+    for pid, g in geoms.items():
         exp_containers[pid] = {
-            cid for cid, g in geoms.items()
-            if kernels.points_in_geom(np.array([cx]), np.array([cy]), g)[0]
-            and bbox_within(geoms[pid].bbox, g.bbox)
+            cid for cid, cg in geoms.items()
+            if pid == cid or kernels.polygon_within(g, cg)
         }
     contained_by_others = {
         cid for pid, cs in exp_containers.items() for cid in cs if cid != pid
