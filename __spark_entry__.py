@@ -225,6 +225,7 @@ _GOLDEN_FAMS: dict[str, dict[int, tuple[str, str | None]]] = {
         10: ("building", "yes"), 11: ("building", "house"),
         12: ("building_part", "roof"), 13: ("office", "lawyer"),
         14: ("address", None), 17: ("door", "hinged"), 18: ("entrance", "main"),
+        38: ("address", None),  # housenumber-only row is address-only too
     },
     "indoor": {
         15: ("room", None), 16: ("corridor", None), 17: ("door", None),
@@ -241,6 +242,7 @@ _GOLDEN_FAMS: dict[str, dict[int, tuple[str, str | None]]] = {
         2: ("amenity", "fuel"), 5: ("amenity", "pub"), 6: ("amenity", "shelter"),
         9: ("amenity", "cafe"), 7: ("shop", "bakery"), 8: ("shop", "supermarket"),
         10: ("building", "yes"), 23: ("man_made", "water_tower"),
+        36: ("shop", "cafe"),
     },
     "public_transport": {
         25: ("platform", None), 26: ("railway", "station"),
@@ -249,7 +251,7 @@ _GOLDEN_FAMS: dict[str, dict[int, tuple[str, str | None]]] = {
     "road": {30: ("pedestrian", None)},
     "shop": {
         7: ("shop", "bakery"), 8: ("shop", "supermarket"),
-        5: ("amenity", "pub"), 9: ("amenity", "cafe"),
+        5: ("amenity", "pub"), 9: ("amenity", "cafe"), 36: ("shop", "cafe"),
     },
     "water": {28: ("natural", "water"), 29: ("waterway", "river")},
 }
@@ -562,6 +564,51 @@ def q_qc_features_not_in_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return missing.select(F.col("osm_id").alias("event_id")).orderBy("event_id")
 
 
+def q_qc_tag_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QC lint-rule union (U4, /root/reference/db/qc/osm_tag_suggestions.sql)
+    over the mixed derived input."""
+    from pgosm_flex_spark.layers.qc import qc_tag_suggestions
+    from pgosm_flex_spark.layers.registry import LAYER_BUILDERS
+
+    osm = td.derived_osm_objects_mixed(spark, sf_dir)
+    tags_tbl = LAYER_BUILDERS["tags"](osm)["tags"]
+    return (
+        qc_tag_suggestions(tags_tbl)
+        .select("osm_id", "geom_type", "suggestion", "osm_url")
+        .orderBy("osm_id", "suggestion")
+    )
+
+
+def _oracle_qc_suggestions() -> str:
+    from pgosm_flex_spark.layers import qc
+
+    fam_sugg = {
+        33: qc.SUGGESTION_BICYCLE_PARKING,
+        34: qc.SUGGESTION_BENCH,
+        35: qc.SUGGESTION_WHEELCHAIR,
+        36: qc.SUGGESTION_SHOP_CAFE,
+        37: qc.SUGGESTION_NATURAL_STREET_LAMP,
+        38: qc.SUGGESTION_MISSING_STREET,
+    }
+    sugg_case = "CASE fam " + " ".join(
+        f"WHEN {f} THEN '{s}'" for f, s in sorted(fam_sugg.items())
+    ) + " END"
+    return f"""
+        WITH o AS (
+            SELECT event_id AS osm_id, CAST(event_id % {td.MIXED_MOD} AS INT) AS fam,
+                   CAST(event_id % 4 AS INT) AS g
+            FROM events)
+        SELECT osm_id,
+               CASE WHEN g = 0 THEN 'N' WHEN g = 3 THEN 'R' ELSE 'W' END AS geom_type,
+               {sugg_case} AS suggestion,
+               'https://www.openstreetmap.org/'
+                 || CASE WHEN g = 0 THEN 'node' WHEN g = 3 THEN 'relation' ELSE 'way' END
+                 || '/' || CAST(osm_id AS VARCHAR) AS osm_url
+        FROM o WHERE fam IN ({', '.join(str(f) for f in sorted(fam_sugg))})
+        ORDER BY osm_id, suggestion
+    """
+
+
 # rows-only checks (engine-specific hashing / binary payloads)
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -636,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "routing_vertex_degrees": q_routing_vertex_degrees,
         "pgosm_road_rows": q_pgosm_road_rows,
         "qc_features_not_in_layers": q_qc_features_not_in_layers,
+        "qc_tag_suggestions": q_qc_tag_suggestions,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "doc_fingerprints": q_doc_fingerprints,
@@ -1043,6 +1091,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_oracle_docs())
     out.update(_oracle_routing())
     out.update(_oracle_golden())
+    out["qc_tag_suggestions"] = _oracle_qc_suggestions()
     # intentionally absent (rows-only checks): minhash_pairs, simhash_pairs,
     # doc_fingerprints (xxhash64/blake2b are engine-side hashes), lsh_ann_top3
     # (approximate by design), image_decode_stats (binary payloads)

@@ -178,8 +178,15 @@ MIXED_FAMILY_TAGS: dict[int, str] = {
     30: "highway=pedestrian area=yes",
     31: "place=city admin_level=8",
     32: "boundary=administrative admin_level=4",
+    # QC tag-suggestion triggers (db/qc/osm_tag_suggestions.sql rules 1-6)
+    33: "bicycle_parking=stands",
+    34: "bench=seat",
+    35: "wheelchair=sometimes",
+    36: "shop=cafe",
+    37: "natural=street_lamp",
+    38: "addr:housenumber=9",
 }
-MIXED_MOD = 33
+MIXED_MOD = 39
 
 MIXED_CAPTION_SQL = (
     "concat("

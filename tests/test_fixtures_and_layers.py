@@ -183,3 +183,48 @@ def test_layersets_subset(spark):
     assert set(minimal) == {"place_point", "place_line", "place_polygon",
                             "poi_combined_point", "road_major"}
     assert sorted(LAYERSETS) == ["basic", "default", "everything", "minimal"]
+
+
+def test_qc_tag_suggestions_rules(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pgosm_flex_spark.layers import qc
+
+    rows = [
+        (1, "N", {"bicycle_parking": "stands"}),            # rule 1
+        (2, "N", {"bicycle_parking": "stands", "amenity": "x"}),  # amenity set: no
+        (3, "W", {"bench": "seat"}),                         # rule 2
+        (4, "W", {"bench": "yes"}),                          # valid: no
+        (5, "N", {"wheelchair": "sometimes"}),               # rule 3
+        (6, "N", {"wheelchair": "limited"}),                 # valid: no
+        (7, "R", {"shop": "cafe"}),                          # rule 4
+        (8, "N", {"natural": "street_lamp"}),                # rule 5
+        (9, "W", {"addr:housenumber": "5"}),                 # rule 6
+        (10, "W", {"addr:housenumber": "5", "addr:street": "Oak"}),  # no
+        (11, "N", {"bench": "seat", "shop": "cafe"}),        # rules 2 AND 4
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "osm_id": [r[0] for r in rows],
+                "geom_type": [r[1] for r in rows],
+                "tags": [list(r[2].items()) for r in rows],
+            }
+        ),
+        schema="osm_id long, geom_type string, tags array<struct<key:string,value:string>>",
+    ).select(
+        "osm_id", "geom_type", F.map_from_entries("tags").alias("tags"),
+        F.lit("u").alias("osm_url"),
+    )
+    out = qc.qc_tag_suggestions(df).select("osm_id", "suggestion").collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["osm_id"], set()).add(r["suggestion"])
+    assert got[1] == {qc.SUGGESTION_BICYCLE_PARKING}
+    assert 2 not in got and 4 not in got and 6 not in got and 10 not in got
+    assert got[3] == {qc.SUGGESTION_BENCH}
+    assert got[5] == {qc.SUGGESTION_WHEELCHAIR}
+    assert got[7] == {qc.SUGGESTION_SHOP_CAFE}
+    assert got[8] == {qc.SUGGESTION_NATURAL_STREET_LAMP}
+    assert got[9] == {qc.SUGGESTION_MISSING_STREET}
+    assert got[11] == {qc.SUGGESTION_BENCH, qc.SUGGESTION_SHOP_CAFE}
