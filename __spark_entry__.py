@@ -609,37 +609,71 @@ def _oracle_qc_suggestions() -> str:
     """
 
 
-# rows-only checks (engine-specific hashing / binary payloads)
+# hash-pipeline queries with STRUCTURAL-RECALL oracles: identical text ⇒
+# identical signature ⇒ found by construction, so a text-equality oracle
+# value-checks the full LSH/fingerprint machinery (near-dup behavior beyond
+# exact duplicates stays covered by pytest recall tests)
+
+def _texts_of(docs: DataFrame, side: str) -> DataFrame:
+    return docs.select(F.col("doc_id").alias(side), F.col("text").alias(f"__t_{side}"))
+
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _dup_docs(spark, sf_dir).filter(
-        (F.col("doc_id") < 1000) | (F.col("doc_id") >= 1000000)
+    """MinHash+LSH recall proof on exact duplicates: identical text →
+    identical signature → all bands collide → candidate → verified at
+    jaccard 1.0. The text-equality join pins precision so the oracle is the
+    plain text self-join."""
+    docs = _dup_docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=1.0)
+    return (
+        pairs.join(_texts_of(docs, "doc_a"), "doc_a")
+        .join(_texts_of(docs, "doc_b"), "doc_b")
+        .filter(F.col("__t_doc_a") == F.col("__t_doc_b"))
+        .select("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")
     )
-    return dedup.minhash_lsh_pairs(docs, threshold=0.8).select(
-        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
-    ).orderBy("doc_a", "doc_b")
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _dup_docs(spark, sf_dir).filter(
-        (F.col("doc_id") < 1000) | (F.col("doc_id") >= 1000000)
+    """SimHash recall proof on exact duplicates (hamming 0 via the quarter
+    blocking + xor bit_count path)."""
+    docs = _dup_docs(spark, sf_dir)
+    pairs = dedup.simhash_pairs(docs, max_hamming=0)
+    return (
+        pairs.join(_texts_of(docs, "doc_a"), "doc_a")
+        .join(_texts_of(docs, "doc_b"), "doc_b")
+        .filter(F.col("__t_doc_a") == F.col("__t_doc_b"))
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
     )
-    return dedup.simhash_pairs(docs, max_hamming=3).orderBy("doc_a", "doc_b")
 
 
-def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = td.load(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", analysis.fingerprint(F.col("text")).alias("fingerprint")
-    ).orderBy("doc_id")
+def q_fingerprint_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-fingerprint dup groups ↔ token-sequence groups (fingerprint is
+    an order-sensitive fold over tokens, so groups match whitespace-normalized
+    text groups; 64-bit collisions are ~1e-12 at this corpus size)."""
+    docs = _dup_docs(spark, sf_dir)
+    fp = docs.select("doc_id", analysis.fingerprint(F.col("text")).alias("fp"))
+    return (
+        fp.groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+        .select("keep_id", "n_dups")
+        .orderBy("keep_id")
+    )
 
 
-def q_lsh_ann_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_lsh_ann_self_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH recall proof: planted twin queries (corpus vectors
+    under shifted ids) always collide with their twin in every table, and
+    nothing beats cosine 1.0 — so exact top-1 is a closed-form oracle."""
     emb = td.load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 20)
-    return ann.lsh_cosine_topk(emb, queries, k=3, dim=64).select(
+    twins = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return ann.lsh_cosine_topk(emb, twins, k=1, dim=64).select(
         "query_id", F.col("rank").cast("int").alias("rank"), "neighbor_id"
-    ).orderBy("query_id", "rank")
+    ).orderBy("query_id")
 
 
 def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -686,8 +720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc_tag_suggestions": q_qc_tag_suggestions,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
-        "doc_fingerprints": q_doc_fingerprints,
-        "lsh_ann_top3": q_lsh_ann_top3,
+        "fingerprint_dup_groups": q_fingerprint_dup_groups,
+        "lsh_ann_self_top1": q_lsh_ann_self_top1,
         "image_decode_stats": q_image_decode_stats,
         **_golden_queries(),
     }
@@ -981,12 +1015,41 @@ def _oracle_docs() -> dict[str, str]:
         SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id
         FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
     """
+    text_pairs = f"""
+        WITH d AS ({dupdocs})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
+        ORDER BY doc_a, doc_b
+    """
+    simhash_pairs_sql = f"""
+        WITH d AS ({dupdocs})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
+        FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
+        ORDER BY doc_a, doc_b
+    """
+    # fingerprint groups == whitespace-normalized token-sequence groups
+    norm = "array_to_string(list_filter(string_split(trim(text), ' '), w -> w <> ''), ' ')"
+    fingerprint_groups = f"""
+        WITH d AS ({dupdocs}),
+        t AS (SELECT doc_id, {norm} AS norm FROM d)
+        SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups FROM t
+        GROUP BY norm HAVING COUNT(*) > 1 ORDER BY keep_id
+    """
+    lsh_self_top1 = """
+        SELECT vec_id + 1000000 AS query_id, CAST(1 AS INT) AS rank,
+               vec_id AS neighbor_id
+        FROM embeddings WHERE vec_id < 20 ORDER BY query_id
+    """
     return {
         "doc_token_stats": token_stats,
         "lang_counts": lang_counts,
         "exact_dup_groups": exact_dups,
         "word_jaccard_pairs": jaccard,
         "ann_top3": ann3,
+        "minhash_pairs": text_pairs,
+        "simhash_pairs": simhash_pairs_sql,
+        "fingerprint_dup_groups": fingerprint_groups,
+        "lsh_ann_self_top1": lsh_self_top1,
     }
 
 
@@ -1092,7 +1155,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(_oracle_routing())
     out.update(_oracle_golden())
     out["qc_tag_suggestions"] = _oracle_qc_suggestions()
-    # intentionally absent (rows-only checks): minhash_pairs, simhash_pairs,
-    # doc_fingerprints (xxhash64/blake2b are engine-side hashes), lsh_ann_top3
-    # (approximate by design), image_decode_stats (binary payloads)
+    # intentionally absent (rows-only check): image_decode_stats only —
+    # binary payloads with engine-side codecs have no SQL-expressible oracle
     return out

@@ -184,28 +184,41 @@ def minhash_lsh_pairs(
 
 
 @F.pandas_udf(LongType())
-def _simhash_udf(tokens: pd.Series) -> pd.Series:
-    """64-bit SimHash, bit-parallel numpy over the Arrow batch."""
-    out = np.zeros(len(tokens), dtype=np.int64)
-    for row_i, toks in enumerate(tokens):
-        if toks is None or len(toks) == 0:
-            continue
-        hs = np.array(
-            [int.from_bytes(__import__("hashlib").blake2b(t.encode(), digest_size=8).digest(), "little") for t in toks],
-            dtype=np.uint64,
-        )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
-        votes = (2 * bits - 1).sum(axis=0)
-        val = np.uint64(0)
-        for j in np.nonzero(votes > 0)[0]:
-            val |= np.uint64(1) << np.uint64(j)
-        out[row_i] = np.int64(val.astype(np.int64))
+def _simhash_bitvote_udf(hashes: pd.Series) -> pd.Series:
+    """64-bit SimHash bit-vote over PRE-HASHED tokens (array<long> per row).
+
+    Token hashing happens JVM-side (native xxhash64 in a transform — the
+    round-1 version called hashlib per token in a Python loop, directly
+    against the no-per-row-Python mandate); this UDF only aggregates sign
+    votes, fully vectorized: one flat concat per batch, np.add.reduceat per
+    bit plane (64 passes keeps peak memory at one int64 per token)."""
+    n = len(hashes)
+    out = np.zeros(n, dtype=np.int64)
+    lens = np.fromiter(
+        (0 if h is None else len(h) for h in hashes), dtype=np.int64, count=n
+    )
+    nz = lens > 0
+    if not nz.any():
+        return pd.Series(out)
+    flat = np.concatenate(
+        [np.asarray(h, dtype=np.int64) for h in hashes if h is not None and len(h)]
+    ).view(np.uint64)
+    nz_lens = lens[nz]
+    offsets = np.concatenate([[0], np.cumsum(nz_lens)[:-1]])
+    sig = np.zeros(nz_lens.shape[0], dtype=np.uint64)
+    for b in range(64):
+        bit = ((flat >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+        ones = np.add.reduceat(bit, offsets)
+        # majority vote: ones - zeros > 0
+        sig |= ((2 * ones - nz_lens) > 0).astype(np.uint64) << np.uint64(b)
+    out[nz] = sig.view(np.int64)
     return pd.Series(out)
 
 
 def simhash_signatures(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    tok_hashes = F.transform(tokens_col(F.col(text_col)), lambda t: F.xxhash64(t))
     return documents.select(
-        F.col(id_col), _simhash_udf(tokens_col(F.col(text_col))).alias("simhash")
+        F.col(id_col), _simhash_bitvote_udf(tok_hashes).alias("simhash")
     )
 
 
