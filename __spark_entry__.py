@@ -539,6 +539,31 @@ def q_routing_vertex_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_route_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: single-source shortest travel time over the built street network
+    (pgr_dijkstra + per-route SUM(cost) rollup analog,
+    /root/reference/db/deploy/routing_functions.sql:553-591). Source = the
+    smallest (lon, lat) vertex; 16 bounded relaxation rounds — the oracle
+    runs the identical DP in SQL, so results match without requiring
+    convergence arguments."""
+    from pgosm_flex_spark.operators.routing import (
+        build_routing_network,
+        shortest_paths_khop,
+    )
+    from pgosm_flex_spark.sources.lookup import pgosm_road
+
+    roads = td.street_ways(spark, sf_dir)
+    edges, vertices = build_routing_network(roads, lookup=pgosm_road(spark))
+    edges = edges.persist()
+    src = vertices.orderBy("lon", "lat").select("vertex_id").first()["vertex_id"]
+    dist = shortest_paths_khop(edges, src, k_hops=16)
+    out = dist.join(vertices.select("vertex_id", "lon", "lat"), "vertex_id")
+    res = out.select(
+        "lon", "lat", F.round("dist", 2).alias("secs")
+    ).orderBy("lon", "lat")
+    return res
+
+
 def q_pgosm_road_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The seeded lookup table (S6; golden count
     /root/reference/tests/sql/pgosm_road_row_count.sql)."""
@@ -715,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_top3": q_ann_top3,
         "routing_edges": q_routing_edges,
         "routing_vertex_degrees": q_routing_vertex_degrees,
+        "route_time_rollup": q_route_time_rollup,
         "pgosm_road_rows": q_pgosm_road_rows,
         "qc_features_not_in_layers": q_qc_features_not_in_layers,
         "qc_tag_suggestions": q_qc_tag_suggestions,
@@ -1138,9 +1164,65 @@ def _oracle_routing() -> dict[str, str]:
             OR (event_id % 11 = 3 AND event_id % 6 IN (4, 5)))
         ORDER BY event_id
     """
+    # bounded-hop SSSP: the same 16-round Bellman-Ford DP the engine runs,
+    # spelled as chained CTEs. Vertex keys are the quantized coordinates (the
+    # engine's vertex ids are coordinate content hashes); edge weights use the
+    # same haversine * (3.6 / lookup_speed) expression as the engine.
+    q = "round(({v}) * 10000000) / 10000000.0"
+    arcs_sql = f"""
+        harc AS (
+            SELECT {q.format(v='x0')} AS ax, {q.format(v=hy.replace('(k)', '(k)'))} AS ay,
+                   {q.format(v='x1')} AS bx, {q.format(v=hy.replace('(k)', '(k)'))} AS by,
+                   {td.haversine_sql('x0', hy, 'x1', hy)} * (3.6 / 40.2336) AS w
+            FROM (SELECT a.k, a.bx AS x0, b.bx AS x1 FROM hseq a
+                  JOIN hseq b ON b.k = a.k AND b.seq = a.seq + 1)),
+        varc AS (
+            SELECT {q.format(v=vx)} AS ax, {q.format(v='y0')} AS ay,
+                   {q.format(v=vx)} AS bx, {q.format(v='y1')} AS by,
+                   {td.haversine_sql(vx, 'y0', vx, 'y1')} * (3.6 / 96.56064) AS w
+            FROM (SELECT a.k, a.by AS y0, b.by AS y1 FROM vseq a
+                  JOIN vseq b ON b.k = a.k AND b.seq = a.seq + 1)),
+        arcs AS MATERIALIZED (
+            SELECT ax, ay, bx, by, w FROM harc
+            UNION ALL SELECT bx, by, ax, ay, w FROM harc
+            UNION ALL SELECT ax, ay, bx, by, w FROM varc
+            UNION ALL SELECT bx, by, ax, ay, w FROM varc),
+        verts AS (SELECT DISTINCT ax AS vx0, ay AS vy0 FROM
+                  (SELECT ax, ay FROM arcs UNION SELECT bx, by FROM arcs)),
+        d0 AS (SELECT vx0 AS vx, vy0 AS vy, 0.0 AS d FROM verts
+               ORDER BY vx0, vy0 LIMIT 1)"""
+    rounds = []
+    for i in range(16):
+        rounds.append(f"""
+        d{i + 1} AS MATERIALIZED (
+            SELECT vx, vy, MIN(d) AS d FROM (
+                SELECT vx, vy, d FROM d{i}
+                UNION ALL
+                SELECT a.bx, a.by, t.d + a.w FROM d{i} t
+                JOIN arcs a ON a.ax = t.vx AND a.ay = t.vy
+            ) GROUP BY vx, vy)""")
+    route_rollup = f"""
+        WITH hh AS (SELECT s_suppkey AS k FROM supplier WHERE s_suppkey < 5),
+        v AS (SELECT s_suppkey AS k FROM supplier WHERE s_suppkey BETWEEN 5 AND 9),
+        hb AS (
+            SELECT hh.k, {q.format(v=vx.replace('(k)', '(v.k)'))} AS bx FROM hh, v
+            UNION ALL SELECT k, {td.LON0} FROM hh
+            UNION ALL SELECT k, {td.LON0 + td.LON_SPAN} FROM hh),
+        hseq AS (SELECT k, bx, ROW_NUMBER() OVER (PARTITION BY k ORDER BY bx) - 1 AS seq FROM hb),
+        vb AS (
+            SELECT v.k, {q.format(v=hy.replace('(k)', '(hh.k)'))} AS by FROM v, hh
+            UNION ALL SELECT k, {td.LAT0} FROM v
+            UNION ALL SELECT k, {td.LAT0 + td.LAT_SPAN} FROM v),
+        vseq AS (SELECT k, by, ROW_NUMBER() OVER (PARTITION BY k ORDER BY by) - 1 AS seq FROM vb),
+        {arcs_sql},
+        {','.join(rounds)}
+        SELECT vx AS lon, vy AS lat, ROUND(d, 2) AS secs FROM d16
+        ORDER BY lon, lat
+    """
     return {
         "routing_edges": edges,
         "routing_vertex_degrees": degrees,
+        "route_time_rollup": route_rollup,
         "pgosm_road_rows": road_rows,
         "qc_features_not_in_layers": qc,
     }

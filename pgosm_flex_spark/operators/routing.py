@@ -305,6 +305,67 @@ def _substring(arr, cum, seg, seg_len, s0, s1) -> np.ndarray:
     return out[keep]
 
 
+def shortest_paths_khop(
+    edges: DataFrame,
+    source_vertex_id: int,
+    k_hops: int = 16,
+    fwd_cost: str = "cost_seconds_forward",
+    rev_cost: str = "cost_seconds_reverse",
+) -> DataFrame:
+    """Single-source shortest paths, bounded to ``k_hops`` relaxation rounds —
+    the set-oriented analog of the reference's pgr_dijkstra + per-route
+    rollup (/root/reference/db/deploy/routing_functions.sql:553-591): the
+    output row per vertex IS the route rollup (dist = SUM(cost) along the
+    optimal route, hops = COUNT(edges)).
+
+    Bellman-Ford over the edge table: one shuffle per round, arcs built from
+    directed costs (negative cost = direction closed, sql:482-493). Round
+    semantics are deterministic DP — d_{i+1}(v) = min(d_i(v),
+    min_u(d_i(u) + w(u,v))) with ties by fewer hops — so bounded-hop results
+    are reproducible bit-for-bit by any engine running the same rounds.
+    Each round localCheckpoints to truncate lineage (the standard iterative-
+    algorithm pattern; without it the plan doubles per round)."""
+    arcs = (
+        edges.select(
+            F.col("source_vertex").alias("src"),
+            F.col("target_vertex").alias("dst"),
+            F.col(fwd_cost).alias("w"),
+        )
+        .filter(F.col("w") >= 0)
+        .unionByName(
+            edges.select(
+                F.col("target_vertex").alias("src"),
+                F.col("source_vertex").alias("dst"),
+                F.col(rev_cost).alias("w"),
+            ).filter(F.col("w") >= 0)
+        )
+        .persist()
+    )
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(int(source_vertex_id), 0.0, 0)], schema="vertex_id long, dist double, hops int"
+    )
+    for _ in range(k_hops):
+        cand = dist.join(arcs, dist["vertex_id"] == arcs["src"]).select(
+            arcs["dst"].alias("vertex_id"),
+            (dist["dist"] + arcs["w"]).alias("dist"),
+            (dist["hops"] + F.lit(1)).alias("hops"),
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("vertex_id")
+            .agg(F.min(F.struct("dist", "hops")).alias("__s"))
+            .select(
+                "vertex_id",
+                F.col("__s.dist").alias("dist"),
+                F.col("__s.hops").alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    arcs.unpersist(blocking=False)
+    return dist
+
+
 def build_routing_network(
     roads: DataFrame,
     lookup: DataFrame | None = None,

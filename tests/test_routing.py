@@ -198,3 +198,39 @@ def test_oneway_attrs_not_broadcast_joined(spark, grid_roads):
         edges_nolk._jdf.queryExecution().optimizedPlan().toString().count("ResolvedHint")
         == 0
     )
+
+
+def test_shortest_paths_khop_grid(spark, grid_roads):
+    # 3x3 grid, all costs defined; distances from a corner-street endpoint
+    # must match a numpy Dijkstra oracle over the same edge table
+    import heapq
+
+    edges, vertices = routing.build_routing_network(grid_roads)
+    e = edges.toPandas()
+    v = vertices.toPandas()
+    src = v.sort_values(["lon", "lat"]).iloc[0]["vertex_id"]
+    dist = routing.shortest_paths_khop(edges, int(src), k_hops=12).toPandas()
+
+    adj = {}
+    for r in e.itertuples(index=False):
+        w = r.cost_seconds_forward
+        if w >= 0:
+            adj.setdefault(r.source_vertex, []).append((r.target_vertex, w))
+        wr = r.cost_seconds_reverse
+        if wr >= 0:
+            adj.setdefault(r.target_vertex, []).append((r.source_vertex, wr))
+    best = {int(src): 0.0}
+    heap = [(0.0, int(src))]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > best.get(u, float("inf")):
+            continue
+        for nxt, w in adj.get(u, []):
+            nd = d + w
+            if nd < best.get(nxt, float("inf")):
+                best[nxt] = nd
+                heapq.heappush(heap, (nd, nxt))
+    got = {int(r.vertex_id): r.dist for r in dist.itertuples(index=False)}
+    assert set(got) == set(best)
+    for vid, d in best.items():
+        assert abs(got[vid] - d) < 1e-9, vid
