@@ -131,11 +131,15 @@ def pip_join(
     must exist in every salt bucket a point might choose; cf. PAPERS.md
     EDBT 2025). AQE skew-join remains as a backstop.
     """
-    own_cover = cover is None
-    if own_cover:
+    if cover is None:
+        # NOT persisted: an internal persist can never be released (the
+        # returned plan still references it lazily), and a leaked cache per
+        # call adds up in long-running jobs. The cover builds twice (once for
+        # the resolution probe below, once inside the join's broadcast) —
+        # callers doing repeated joins pass a cached cover explicitly.
         cover = build_polygon_cover(
             polygons, poly_id, wkb_col, fine_res, coarse_res, max_cells_per_poly
-        ).persist()
+        )
     res_levels = sorted(
         r["res"] for r in cover.select(
             F.shiftright("cell", 58).alias("res")).distinct().collect()

@@ -20,9 +20,11 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import uuid
 from collections.abc import Callable, Iterable
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -59,9 +61,29 @@ class Checkpointer:
         return {r["unit"] for r in rows}
 
     def _append(self, spark: SparkSession, rows: list[tuple]) -> None:
-        spark.createDataFrame(rows, schema=JOURNAL_SCHEMA).coalesce(1).write.mode(
-            "append"
-        ).parquet(self._journal_dir())
+        """Journal rows are driver-written directly with pyarrow (one tiny
+        uniquely-named file per append): concurrent unit threads can journal
+        without racing on Spark's shared _temporary commit directory."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pa.schema(
+            [
+                ("job_id", pa.string()), ("unit", pa.string()),
+                ("status", pa.string()), ("engine_version", pa.string()),
+                ("metrics", pa.string()), ("started_at", pa.float64()),
+                ("finished_at", pa.float64()), ("run_id", pa.string()),
+            ]
+        )
+        cols = list(zip(*rows))
+        table = pa.table(
+            {f.name: list(c) for f, c in zip(schema, cols)}, schema=schema
+        )
+        d = self._journal_dir()
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".{uuid.uuid4().hex}.parquet.tmp")
+        pq.write_table(table, tmp)
+        os.rename(tmp, os.path.join(d, f"journal-{uuid.uuid4().hex}.parquet"))
 
     def mark_completed(
         self, spark: SparkSession, unit: str, metrics: dict, started_at: float
@@ -82,6 +104,7 @@ class Checkpointer:
         spark: SparkSession,
         units: Iterable[str],
         process: Callable[[str], dict],
+        max_parallel: int = 4,
     ) -> dict[str, dict]:
         """Process every unit not yet journaled as completed.
 
@@ -91,17 +114,39 @@ class Checkpointer:
         re-runs the unit idempotently — at-least-once with idempotent
         writes ⇒ exactly-once results, the same guarantee the reference gets
         from per-batch COMMIT.
+
+        Units dispatch from a thread pool (``max_parallel`` concurrent Spark
+        jobs): a strictly sequential loop leaves the cluster idle during each
+        unit's scheduling/commit tail, which at 4N executors turns into the
+        dominant cost. Spark's scheduler interleaves the concurrent jobs'
+        stages across all cores; set ``max_parallel=1`` for the reference's
+        strictly-serial batch-loop behavior.
         """
         done = self.completed_units(spark)
         results: dict[str, dict] = {}
-        for unit in units:
-            if unit in done:
-                results[unit] = {"skipped": True}
-                continue
+        lock = threading.Lock()
+
+        def run_one(unit: str) -> None:
             t0 = time.time()
             metrics = process(unit)
             self.mark_completed(spark, unit, metrics, t0)
-            results[unit] = metrics
+            with lock:
+                results[unit] = metrics
+
+        todo = []
+        for unit in units:
+            if unit in done:
+                results[unit] = {"skipped": True}
+            else:
+                todo.append(unit)
+        if max_parallel <= 1 or len(todo) <= 1:
+            for unit in todo:
+                run_one(unit)
+        else:
+            with ThreadPoolExecutor(max_workers=max_parallel) as ex:
+                futures = [ex.submit(run_one, u) for u in todo]
+                for f in futures:
+                    f.result()  # re-raise the first failure
         return results
 
 
@@ -113,6 +158,7 @@ def checkpointed_pip_join(
     job_id: str,
     point_cols: list[str],
     unit_res: int = 4,
+    max_parallel: int = 4,
     **pip_kwargs,
 ):
     """The flagship join as a resumable job: points are split by coarse cell
@@ -140,6 +186,7 @@ def checkpointed_pip_join(
         n = spark.read.parquet(target).count()
         return {"pairs": n}
 
-    results = cp.run_units(spark, sorted(units), process)
-    pts.unpersist()
+    results = cp.run_units(spark, sorted(units), process, max_parallel=max_parallel)
+    pts.unpersist(blocking=False)
+    cover.unpersist(blocking=False)
     return results
