@@ -219,7 +219,7 @@ _GOLDEN_FAMS: dict[str, dict[int, tuple[str, str | None]]] = {
     "amenity": {
         0: ("restaurant", "pizza"), 1: ("bench", None), 2: ("fuel", None),
         3: ("bench", None), 4: ("brewery", None), 5: ("pub", None),
-        6: ("shelter", "basic_hut"), 9: ("cafe", None),
+        6: ("shelter", "basic_hut"), 9: ("cafe", None), 44: ("parking", None),
     },
     "building": {
         10: ("building", "yes"), 11: ("building", "house"),
@@ -242,11 +242,11 @@ _GOLDEN_FAMS: dict[str, dict[int, tuple[str, str | None]]] = {
         2: ("amenity", "fuel"), 5: ("amenity", "pub"), 6: ("amenity", "shelter"),
         9: ("amenity", "cafe"), 7: ("shop", "bakery"), 8: ("shop", "supermarket"),
         10: ("building", "yes"), 23: ("man_made", "water_tower"),
-        36: ("shop", "cafe"),
+        36: ("shop", "cafe"), 44: ("amenity", "parking"),
     },
     "public_transport": {
         25: ("platform", None), 26: ("railway", "station"),
-        27: ("aerialway", "gondola"),
+        27: ("aerialway", "gondola"), 42: ("railway", "level_crossing"),
     },
     "road": {30: ("pedestrian", None)},
     "shop": {
@@ -254,6 +254,17 @@ _GOLDEN_FAMS: dict[str, dict[int, tuple[str, str | None]]] = {
         5: ("amenity", "pub"), 9: ("amenity", "cafe"), 36: ("shop", "cafe"),
     },
     "water": {28: ("natural", "water"), 29: ("waterway", "river")},
+    "traffic": {
+        2: ("amenity", "fuel"), 39: ("barrier", "gate"),
+        40: ("traffic_calming", "hump"), 41: ("stop", None),
+        42: ("crossing", None), 43: ("noexit", None), 44: ("amenity", "parking"),
+    },
+    # closed noexit ways are skipped; traffic takes no relations
+    "traffic_polygon": {
+        2: ("amenity", "fuel"), 39: ("barrier", "gate"),
+        40: ("traffic_calming", "hump"), 41: ("stop", None),
+        42: ("crossing", None), 44: ("amenity", "parking"),
+    },
 }
 
 # geometry routing in oracle arithmetic: g = id%4 (0 N, 1 W-open, 2 W-closed,
@@ -263,6 +274,7 @@ _GOLDEN_GEOM_SQL = {
     "line": "g = 1",
     "polygon": "(g = 2 OR r8 = 3)",          # closed ways + multipolygon rels
     "polygon_all_rels": "g IN (2, 3)",        # place takes every relation
+    "polygon_ways": "g = 2",                  # traffic takes no relations
     "way_or_rel": "g IN (1, 2, 3)",           # road_polygon (area ways + rels)
     "combined_point": "(g = 0 OR g = 2 OR r8 = 3)",
 }
@@ -292,6 +304,9 @@ _GOLDEN_TABLES: list[tuple[str, str, str, str, bool]] = [
     ("shop_combined_point_counts", "shop_combined_point", "shop_combined_point", "combined_point", True),
     ("water_line_counts", "water", "water_line", "line", True),
     ("water_polygon_counts", "water", "water_polygon", "polygon", True),
+    ("traffic_point_counts", "traffic", "traffic_point", "point", True),
+    ("traffic_line_counts", "traffic", "traffic_line", "line", True),
+    ("traffic_polygon_counts", "traffic", "traffic_polygon", "polygon_ways", True),
 ]
 
 # combined_point builders live under their own layer key; map to the family
@@ -301,6 +316,8 @@ _GOLDEN_FAM_KEY = {
     "poi_combined_point": "poi",
     "shop_combined_point": "shop",
 }
+# query-key-specific expectation overrides (geometry-dependent fam sets)
+_GOLDEN_FAM_BY_QUERY = {"traffic_polygon_counts": "traffic_polygon"}
 
 
 def _q_golden_counts(layer: str, table: str, with_subtype: bool):
@@ -357,7 +374,9 @@ def _golden_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _oracle_golden() -> dict[str, str]:
     return {
         key: _golden_count_oracle(
-            _GOLDEN_FAMS[_GOLDEN_FAM_KEY.get(layer, layer)],
+            _GOLDEN_FAMS[
+                _GOLDEN_FAM_BY_QUERY.get(key, _GOLDEN_FAM_KEY.get(layer, layer))
+            ],
             _GOLDEN_GEOM_SQL[geom],
             with_subtype,
         )

@@ -693,11 +693,15 @@ def build_traffic(osm: DataFrame) -> dict[str, DataFrame]:
     )
     cols = {"osm_type": osm_type, "osm_subtype": osm_subtype}
     f = f.filter(osm_type.isNotNull())
+    # nodes and ways only — traffic.lua defines no relation handler
+    # (traffic.lua:266-292 registers process_node/process_way exclusively);
+    # closed noexit ways are skipped ("noexit does not make sense for
+    # polygons", traffic.lua:242-256)
     return {
         "traffic_point": _project(f.filter(_is_node(f)), cols),
         "traffic_line": _project(f.filter(_is_way(f) & ~_closed(f)), cols),
         "traffic_polygon": _project(
-            f.filter((_is_way(f) & _closed(f)) | (_is_rel(f) & _rel_is_poly(f))),
+            f.filter(_is_way(f) & _closed(f) & (osm_type != "noexit")),
             cols,
             with_members=True,
         ),

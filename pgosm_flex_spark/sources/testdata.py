@@ -185,8 +185,15 @@ MIXED_FAMILY_TAGS: dict[int, str] = {
     36: "shop=cafe",
     37: "natural=street_lamp",
     38: "addr:housenumber=9",
+    # traffic long-tail branches (traffic.lua:51-256)
+    39: "barrier=gate",
+    40: "traffic_calming=hump",
+    41: "highway=stop",
+    42: "railway=level_crossing",
+    43: "noexit=yes",
+    44: "amenity=parking",
 }
-MIXED_MOD = 39
+MIXED_MOD = 45
 
 MIXED_CAPTION_SQL = (
     "concat("
