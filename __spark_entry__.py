@@ -519,6 +519,49 @@ def q_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+def q_char_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-5-gram Jaccard near-dup pairs (word-boundary-robust
+    dedup tier) — same plan family as word Jaccard, value-matched against a
+    DuckDB n-gram self-join."""
+    docs = td.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    out = dedup.char_ngram_jaccard_pairs(docs, n=5, threshold=0.5)
+    return out.select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")
+
+
+def _twin_embeddings(spark: SparkSession, sf_dir: str, upto: int) -> DataFrame:
+    emb = td.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = emb.filter(F.col("vec_id") < upto).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return emb.unionByName(twins)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate detection (cos ≥ 0.99) over corpus + planted
+    twins: only twin pairs clear the threshold (max natural cosine in the
+    synthetic 64-dim corpus ≈ 0.5-0.73), and identical vectors share every
+    LSH bucket, so the pair set is closed-form."""
+    corpus = _twin_embeddings(spark, sf_dir, 100)
+    pairs = ann.cosine_near_dup_pairs(corpus, threshold=0.99, dim=64)
+    return pairs.select(
+        "doc_a", "doc_b", F.round("cos", 2).alias("cos")
+    ).orderBy("doc_a", "doc_b")
+
+
+def q_ivf_ann_self_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall proof: a planted twin probes its own centroid list first
+    and nothing beats cosine 1.0 — exact top-1 has a closed-form oracle."""
+    emb = td.load(spark, sf_dir, "embeddings")
+    twins = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return ann.ivf_cosine_topk(emb, twins, k=1).select(
+        "query_id", F.col("rank").cast("int").alias("rank"), "neighbor_id"
+    ).orderBy("query_id")
+
+
 def q_ann_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = td.load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
@@ -756,6 +799,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_counts": q_lang_counts,
         "exact_dup_groups": q_exact_dup_groups,
         "word_jaccard_pairs": q_word_jaccard_pairs,
+        "char_ngram_jaccard_pairs": q_char_ngram_jaccard_pairs,
+        "embedding_near_dups": q_embedding_near_dups,
+        "ivf_ann_self_top1": q_ivf_ann_self_top1,
         "ann_top3": q_ann_top3,
         "routing_edges": q_routing_edges,
         "routing_vertex_degrees": q_routing_vertex_degrees,
@@ -1085,6 +1131,34 @@ def _oracle_docs() -> dict[str, str]:
                vec_id AS neighbor_id
         FROM embeddings WHERE vec_id < 20 ORDER BY query_id
     """
+    char_jaccard = """
+        WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        g AS (SELECT doc_id,
+                     list_distinct(list_transform(
+                         range(1, greatest(length(text) - 4, 1) + 1),
+                         i -> substring(text, CAST(i AS INT), 5))) AS grams
+              FROM d),
+        e AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS gram FROM g),
+        shared AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+                   COUNT(*) AS s
+            FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4)
+        SELECT doc_a, doc_b,
+               ROUND(CAST(s AS DOUBLE) / (na + nb - s), 6) AS jaccard
+        FROM shared WHERE CAST(s AS DOUBLE) / (na + nb - s) >= 0.5
+        ORDER BY doc_a, doc_b
+    """
+    emb_near_dups = """
+        SELECT vec_id AS doc_a, vec_id + 1000000 AS doc_b,
+               CAST(1.0 AS DOUBLE) AS cos
+        FROM embeddings WHERE vec_id < 100 ORDER BY doc_a
+    """
+    ivf_self_top1 = """
+        SELECT vec_id + 1000000 AS query_id, CAST(1 AS INT) AS rank,
+               vec_id AS neighbor_id
+        FROM embeddings WHERE vec_id < 20 ORDER BY query_id
+    """
     return {
         "doc_token_stats": token_stats,
         "lang_counts": lang_counts,
@@ -1095,6 +1169,9 @@ def _oracle_docs() -> dict[str, str]:
         "simhash_pairs": simhash_pairs_sql,
         "fingerprint_dup_groups": fingerprint_groups,
         "lsh_ann_self_top1": lsh_self_top1,
+        "char_ngram_jaccard_pairs": char_jaccard,
+        "embedding_near_dups": emb_near_dups,
+        "ivf_ann_self_top1": ivf_self_top1,
     }
 
 

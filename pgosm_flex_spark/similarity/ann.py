@@ -144,6 +144,96 @@ def lsh_cosine_topk(
     )
 
 
+def _train_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+    sample_step: int,
+    iters: int,
+) -> np.ndarray:
+    """Deterministic spherical k-means on a strided id-hash sample (driver
+    numpy): seed = first n_centroids sample vectors in id order, then
+    ``iters`` Lloyd rounds with cosine assignment. No RNG anywhere."""
+    samp = (
+        corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_step)) == 0)
+        .select(F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v"))
+        .orderBy("__id")
+        .toPandas()
+    )
+    X = np.stack(samp["__v"].to_numpy())
+    X = X / (np.linalg.norm(X, axis=1, keepdims=True) + EPS)
+    C = X[:n_centroids].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(C.shape[0]):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                C[c] = m / (np.linalg.norm(m) + EPS)
+    return C
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_step: int = 7,
+    iters: int = 5,
+) -> DataFrame:
+    """IVF approximate top-k: the scale path for corpora too large to
+    broadcast. Corpus partitions into ``n_centroids`` inverted lists by
+    nearest spherical-k-means centroid (one map-only pass); each query probes
+    its ``nprobe`` nearest lists and exact-cosine re-ranks within them.
+    Queries are the broadcast side — the corpus is never shuffled beyond the
+    list assignment column. Recall grows with nprobe/n_centroids; a query's
+    exact duplicate always lands in its top-probed list (identical vector →
+    identical nearest centroid), so planted twins are found at nprobe ≥ 1."""
+    C = _train_centroids(corpus, n_centroids, id_col, vec_col, sample_step, iters)
+
+    @F.pandas_udf(LongType())
+    def assign_udf(vecs: pd.Series) -> pd.Series:
+        arr = np.stack(vecs.to_numpy())
+        arr = arr / (np.linalg.norm(arr, axis=1, keepdims=True) + EPS)
+        return pd.Series(np.argmax(arr @ C.T, axis=1).astype(np.int64))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def probe_udf(vecs: pd.Series) -> pd.Series:
+        arr = np.stack(vecs.to_numpy())
+        arr = arr / (np.linalg.norm(arr, axis=1, keepdims=True) + EPS)
+        sims = arr @ C.T
+        order = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int64)
+        return pd.Series(list(order))
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    ).withColumn("__list", assign_udf(F.col("cvec")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    ).withColumn("__list", F.explode(probe_udf(F.col("qvec"))))
+    cands = (
+        c.join(F.broadcast(q), "__list")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    cands = cands.withColumn(
+        "cos",
+        dot_col(F.col("cvec"), F.col("qvec"))
+        / (norm_col(F.col("cvec")) * norm_col(F.col("qvec"))),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     threshold: float,

@@ -84,6 +84,48 @@ def jaccard_pairs(
     )
 
 
+def char_ngram_jaccard_pairs(
+    documents: DataFrame,
+    n: int = 5,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact character-n-gram Jaccard ≥ threshold pairs (doc_a < doc_b) —
+    the same explode+self-join plan as :func:`jaccard_pairs` over distinct
+    character n-grams instead of words (robust to word-boundary edits;
+    standard web-dedup variant). ``max_doc_freq`` is the stop-gram skew
+    guard. Shorter-than-n docs contribute their whole text as one gram."""
+    t = F.col(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - F.lit(n - 1), F.lit(1)))
+    grams = F.array_distinct(F.transform(idx, lambda i: F.substring(t, i, n)))
+    gs = documents.select(
+        F.col(id_col), grams.alias("grams")
+    ).withColumn("n_grams", F.size("grams"))
+    exploded = gs.select(id_col, "n_grams", F.explode("grams").alias("gram"))
+    if max_doc_freq is not None:
+        freq = exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+        exploded = exploded.join(
+            F.broadcast(freq.filter(F.col("df") <= max_doc_freq)), "gram"
+        ).drop("df")
+    a = exploded.select(F.col(id_col).alias("doc_a"), F.col("n_grams").alias("na"), "gram")
+    b = exploded.select(F.col(id_col).alias("doc_b"), F.col("n_grams").alias("nb"), "gram")
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.withColumn(
+            "jaccard", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def _shingles(text_col: str, k: int):
     toks = tokens_col(F.col(text_col))
     n = F.size(toks)

@@ -139,3 +139,46 @@ def test_audio_video_stubs():
         img_ops.decode_audio(None)
     with pytest.raises(NotImplementedError):
         img_ops.sample_video_frames(None)
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF top-3 recall vs exact cosine on the synthetic embeddings."""
+    import numpy as np
+    from pgosm_flex_spark.similarity import ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 50)
+    approx = ann.ivf_cosine_topk(emb, queries, k=3, n_centroids=32, nprobe=8)
+    exact = ann.cosine_topk(emb, queries, k=3)
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.6, recall  # nprobe=8/32 lists; raise nprobe for more
+
+
+def test_char_ngram_jaccard_detects_boundary_edits(spark):
+    import pandas as pd
+    from pgosm_flex_spark.text import dedup
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog",
+                    # word-boundary edit: words re-joined -> word-Jaccard
+                    # collapses, char-5-gram Jaccard stays high
+                    "the quickbrown fox jumps over thelazy dog",
+                    "completely unrelated content here",
+                ],
+            }
+        )
+    )
+    pairs = dedup.char_ngram_jaccard_pairs(docs, n=5, threshold=0.4).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+    word = dedup.jaccard_pairs(docs, threshold=0.4).collect()
+    assert all((r["doc_a"], r["doc_b"]) != (1, 2) or r["jaccard"] < 0.8 for r in word)
