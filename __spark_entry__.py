@@ -16,6 +16,7 @@ get the driver's rows-only check, as allowed for non-SQL-expressible ops.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -651,6 +652,34 @@ def q_qc_features_not_in_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return missing.select(F.col("osm_id").alias("event_id")).orderBy("event_id")
 
 
+def q_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful dedup driven END-TO-END (real readStream →
+    applyInPandasWithState → foreachBatch sink, availableNow): first-seen
+    image per content hash. Input derives from events; the whole feed fits
+    one micro-batch so first-seen == global string-min id, which DuckDB can
+    state in SQL."""
+    import shutil
+    import tempfile
+
+    from pgosm_flex_spark.streaming.stateful import run_first_seen_stream
+
+    base = tempfile.mkdtemp(prefix="stream_dedup_")
+    inp = os.path.join(base, "in")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        feed = td.load(spark, sf_dir, "events").select(
+            (F.col("event_id") % 97).alias("phash"),
+            F.concat(F.lit("i"), F.col("event_id").cast("string")).alias("image_id"),
+        )
+        feed.coalesce(4).write.mode("overwrite").json(inp)
+        q = run_first_seen_stream(spark, inp, ckpt, out)
+        q.awaitTermination(300)
+        return spark.read.parquet(out).orderBy("phash").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_qc_tag_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QC lint-rule union (U4, /root/reference/db/qc/osm_tag_suggestions.sql)
     over the mixed derived input."""
@@ -809,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pgosm_road_rows": q_pgosm_road_rows,
         "qc_features_not_in_layers": q_qc_features_not_in_layers,
         "qc_tag_suggestions": q_qc_tag_suggestions,
+        "stream_first_seen": q_stream_first_seen,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "fingerprint_dup_groups": q_fingerprint_dup_groups,
@@ -1333,6 +1363,11 @@ def oracle_sql() -> dict[str, str]:
     out.update(_oracle_routing())
     out.update(_oracle_golden())
     out["qc_tag_suggestions"] = _oracle_qc_suggestions()
+    out["stream_first_seen"] = """
+        SELECT CAST(event_id % 97 AS BIGINT) AS phash,
+               MIN('i' || CAST(event_id AS VARCHAR)) AS image_id
+        FROM events GROUP BY 1 ORDER BY 1
+    """
     # intentionally absent (rows-only check): image_decode_stats only —
     # binary payloads with engine-side codecs have no SQL-expressible oracle
     return out

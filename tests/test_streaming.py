@@ -1,0 +1,88 @@
+"""Structured Streaming end-to-end: windowed tile counts and the stateful
+first-seen dedup, both driven through real readStream/writeStream with
+availableNow triggers (SURVEY.md §2.8)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgosm_flex_spark import fixtures
+from pgosm_flex_spark.streaming.incremental import stream_tile_counts
+from pgosm_flex_spark.streaming.stateful import run_first_seen_stream
+
+
+def _write_json(path: str, rows: list[dict]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_stream_tile_counts_matches_batch(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rows = []
+    for i in range(500):
+        lon, lat = fixtures.point_lonlat(i)
+        rows.append(
+            {
+                "ts": f"2026-08-16T10:{i % 50:02d}:00",
+                "lon": lon,
+                "lat": lat,
+                "image_id": f"i{i}",
+            }
+        )
+    _write_json(os.path.join(inp, "batch1.json"), rows)
+
+    q = stream_tile_counts(spark, inp, ckpt, out, zoom=12, window="10 minutes")
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    # batch oracle: same tiling + windowing on a static frame
+    from pgosm_flex_spark.index.tiles import tile_x_col, tile_y_col
+
+    static = spark.read.schema("ts timestamp, lon double, lat double, image_id string").json(inp)
+    exp = (
+        static.withColumn("x", tile_x_col(F.col("lon"), 12))
+        .withColumn("y", tile_y_col(F.col("lat"), 12))
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert got.agg(F.sum("n")).collect()[0][0] == 500
+    assert got.count() == exp.count()
+
+
+def test_stream_first_seen_dedup_across_restarts(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: keys 1..5, key 1 duplicated in-batch (ids b, a -> 'a' wins)
+    _write_json(
+        os.path.join(inp, "b1.json"),
+        [{"phash": 1, "image_id": "b"}, {"phash": 1, "image_id": "a"}]
+        + [{"phash": k, "image_id": f"k{k}"} for k in range(2, 6)],
+    )
+    q = run_first_seen_stream(spark, inp, ckpt, out)
+    q.awaitTermination(120)
+    got1 = {r["phash"]: r["image_id"] for r in spark.read.parquet(out).collect()}
+    assert got1 == {1: "a", 2: "k2", 3: "k3", 4: "k4", 5: "k5"}
+
+    # batch 2 (new files, SAME checkpoint): repeats of 1..3 must be
+    # suppressed by restored state; new key 6 emits
+    _write_json(
+        os.path.join(inp, "b2.json"),
+        [{"phash": k, "image_id": f"late{k}"} for k in (1, 2, 3)]
+        + [{"phash": 6, "image_id": "k6"}],
+    )
+    q2 = run_first_seen_stream(spark, inp, ckpt, out)
+    q2.awaitTermination(120)
+    got2 = {r["phash"]: r["image_id"] for r in spark.read.parquet(out).collect()}
+    assert got2 == {**got1, 6: "k6"}
+    assert len(glob.glob(os.path.join(ckpt, "state", "*"))) > 0
