@@ -84,6 +84,75 @@ def export_bundle(
     return manifest
 
 
+def merge_into_partitioned(
+    spark: SparkSession,
+    target_dir: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_col: str = "cell_p",
+) -> dict:
+    """MERGE INTO for the parquet sandbox: upsert ``updates`` into a
+    partitioned target, rewriting ONLY the partitions the updates touch
+    (everything Iceberg's MERGE does at the file level, minus snapshot
+    isolation — with Iceberg jars this function becomes a single
+    ``MERGE INTO`` statement; the caller contract is identical).
+
+    Per touched partition: old rows whose key collides with an update are
+    replaced, others kept. Uses dynamic partition overwrite so untouched
+    partitions' files are never rewritten (verified by test via file
+    mtimes). Returns {touched_partitions, upserted_rows}.
+    """
+    if partition_col not in updates.columns:
+        raise ValueError(f"updates must carry the partition column {partition_col!r}")
+    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    n_up = updates.count()
+    if not os.path.isdir(target_dir) or not touched:
+        updates.write.mode("append").partitionBy(partition_col).parquet(target_dir)
+        return {"touched_partitions": len(touched), "upserted_rows": n_up}
+
+    target = spark.read.parquet(target_dir)
+    old_touched = target.filter(F.col(partition_col).isin(touched))
+    survivors = old_touched.join(
+        updates.select(*key_cols).distinct(), key_cols, "left_anti"
+    )
+    merged = survivors.select(*updates.columns).unionByName(updates)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # localCheckpoint breaks the read-from-target lineage so the dynamic
+        # overwrite does not read partitions it is deleting mid-write
+        merged.localCheckpoint(eager=True).write.mode("overwrite").partitionBy(
+            partition_col
+        ).parquet(target_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {"touched_partitions": len(touched), "upserted_rows": n_up}
+
+
+def refresh_partitions(
+    spark: SparkSession,
+    target_dir: str,
+    replacement: DataFrame,
+    partition_col: str = "cell_p",
+) -> int:
+    """Partition-scoped REFRESH: every partition present in ``replacement``
+    is replaced wholesale (rows absent from the replacement disappear — the
+    semantics of the reference's append-finish derived-artifact rebuild,
+    replication_functions.sql:22-38); untouched partitions' files stay.
+    The Iceberg mapping is ``REPLACE WHERE``/dynamic overwrite."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        materialized = replacement.localCheckpoint(eager=True)
+        n = materialized.count()
+        materialized.write.mode("overwrite").partitionBy(partition_col).parquet(
+            target_dir
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return n
+
+
 def split_sql_statements(text: str) -> list[str]:
     """Split a script into statements on ';', respecting single/double-quoted
     strings (with '' / "" escapes), `backtick` identifiers, -- line comments

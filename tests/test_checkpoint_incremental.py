@@ -195,3 +195,66 @@ def test_stream_tile_counts(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out"))
     assert out.agg(F.sum("n")).collect()[0][0] == 200
     assert out.select("x", "y").distinct().count() >= 2
+
+
+def test_incremental_refresh_to_storage(spark, tmp_path):
+    """Full incremental loop against STORAGE: initial pairs written
+    partitioned by coarse cell; a diff touches one cell; only that cell's
+    partition is rewritten and the stored table equals a full recompute."""
+    import glob
+    import os as _os
+
+    from pgosm_flex_spark.index import cells
+    from pgosm_flex_spark.sinks import refresh_partitions
+
+    target = str(tmp_path / "pairs")
+    res = 8
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": [f"i{i}" for i in range(400)],
+                "lon": [fixtures.point_lonlat(i)[0] for i in range(400)],
+                "lat": [fixtures.point_lonlat(i)[1] for i in range(400)],
+            }
+        )
+    )
+    osm = fixtures.osm_objects_df(spark)
+    polys = build_layer_tables(osm)["place_polygon"].filter(
+        F.col("geom_wkb").isNotNull()
+    ).persist()
+
+    def pairs_of(points):
+        return pip_join(points, polys, point_cols=["image_id"]).join(
+            points.select("image_id", "lon", "lat"), "image_id"
+        ).withColumn("cell_p", cells.cell_col(F.col("lon"), F.col("lat"), res))
+
+    refresh_partitions(spark, target, pairs_of(pts), partition_col="cell_p")
+    before = {
+        f: _os.path.getmtime(f) for f in glob.glob(f"{target}/cell_p=*/*.parquet")
+    }
+
+    # diff: move one point; recompute only its (old+new) cells
+    moved = pts.filter(F.col("image_id") == "i7").withColumn(
+        "lon", F.col("lon") + F.lit(0.001)
+    )
+    diff = pts.filter(F.col("image_id") == "i7").unionByName(moved)
+    touched = incremental.affected_cells(diff, res=res)
+    all_pts = pts.filter(F.col("image_id") != "i7").unionByName(moved)
+    pts_cell = all_pts.withColumn("cell_p", cells.cell_col(F.col("lon"), F.col("lat"), res))
+    affected_pts = pts_cell.join(
+        F.broadcast(touched), pts_cell["cell_p"] == touched["cell"]
+    ).drop("cell")
+    replacement = pairs_of(affected_pts.drop("cell_p"))
+    refresh_partitions(spark, target, replacement, partition_col="cell_p")
+
+    # stored table == full recompute
+    stored = spark.read.parquet(target).select("image_id", "osm_id")
+    full = pip_join(all_pts, polys, point_cols=["image_id"]).select("image_id", "osm_id")
+    assert stored.exceptAll(full).count() == 0
+    assert full.exceptAll(stored).count() == 0
+    # untouched partitions' files untouched
+    touched_vals = {str(r["cell"]) for r in touched.collect()}
+    for f, mt in before.items():
+        part = f.split("cell_p=")[1].split("/")[0]
+        if part not in touched_vals:
+            assert _os.path.getmtime(f) == mt, f

@@ -78,3 +78,42 @@ def test_run_sql_scripts_semicolon_in_literal(spark):
         schema_name="unused",
     )
     assert spark.sql("SELECT s FROM v_semi").collect()[0][0] == "a;b"
+
+
+def test_merge_into_partitioned_upsert(spark, tmp_path):
+    import glob
+    import os
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pgosm_flex_spark.sinks import merge_into_partitioned
+
+    target = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": list(range(10)),
+                "val": [f"v{i}" for i in range(10)],
+                "cell_p": [i % 3 for i in range(10)],
+            }
+        )
+    )
+    merge_into_partitioned(spark, target, base, key_cols=["id"])
+    assert spark.read.parquet(target).count() == 10
+
+    untouched_files = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{target}/cell_p=2/*.parquet")
+    }
+    # upsert: update id=0 (cell 0), insert id=100 (cell 1); cell 2 untouched
+    updates = spark.createDataFrame(
+        pd.DataFrame({"id": [0, 100], "val": ["NEW", "v100"], "cell_p": [0, 1]})
+    )
+    m = merge_into_partitioned(spark, target, updates, key_cols=["id"])
+    assert m == {"touched_partitions": 2, "upserted_rows": 2}
+
+    out = spark.read.parquet(target)
+    assert out.count() == 11
+    assert out.filter(F.col("id") == 0).collect()[0]["val"] == "NEW"
+    assert out.filter(F.col("id") == 100).count() == 1
+    # untouched partition's files were not rewritten
+    for f, mt in untouched_files.items():
+        assert os.path.exists(f) and os.path.getmtime(f) == mt
