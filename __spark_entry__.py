@@ -792,6 +792,35 @@ def q_lsh_ann_self_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id")
 
 
+def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode plumbing, value-checked on its closed-form metadata
+    invariants (sample_rate / n_samples / duration derive from the row index;
+    the signal stats rms/peak are exercised engine-side and covered by numpy
+    oracles in pytest)."""
+    from pgosm_flex_spark import fixtures
+    from pgosm_flex_spark.images import ops as img_ops
+
+    rows = fixtures.audio_df(spark, 500)
+    stats = img_ops.audio_stats(rows)
+    return stats.select(
+        "audio_id", "sample_rate", "n_samples",
+        F.round("duration_s", 6).alias("duration_s"), "decode_ok",
+    ).orderBy("audio_id")
+
+
+def q_video_frame_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (random-access decode + per-frame
+    explode), value-checked on the sampled frame index set and metadata."""
+    from pgosm_flex_spark import fixtures
+    from pgosm_flex_spark.images import ops as img_ops
+
+    vids = fixtures.video_df(spark, 500)
+    sampled = img_ops.sample_video_frames(vids, every_n=6)
+    return sampled.select(
+        "video_id", "frame", "n_frames", "fps", "w", "h"
+    ).orderBy("video_id", "frame")
+
+
 def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgosm_flex_spark import fixtures
     from pgosm_flex_spark.images import ops as img_ops
@@ -844,6 +873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dup_groups": q_fingerprint_dup_groups,
         "lsh_ann_self_top1": q_lsh_ann_self_top1,
         "image_decode_stats": q_image_decode_stats,
+        "audio_meta": q_audio_meta,
+        "video_frame_meta": q_video_frame_meta,
         **_golden_queries(),
     }
 
@@ -1367,6 +1398,31 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(event_id % 97 AS BIGINT) AS phash,
                MIN('i' || CAST(event_id AS VARCHAR)) AS image_id
         FROM events GROUP BY 1 ORDER BY 1
+    """
+    # multimodal metadata invariants are closed-form in the row index
+    out["audio_meta"] = """
+        WITH a AS (
+            SELECT event_id AS i,
+                   CASE WHEN event_id % 3 = 0 THEN 8000 ELSE 16000 END AS sr,
+                   0.5 + CAST(event_id % 4 AS DOUBLE) * 0.25 AS secs
+            FROM events WHERE event_id < 500)
+        SELECT 'aud' || lpad(CAST(i AS VARCHAR), 12, '0') AS audio_id,
+               CAST(sr AS INT) AS sample_rate,
+               CAST(CAST(sr * secs AS BIGINT) AS BIGINT) AS n_samples,
+               ROUND(CAST(sr * secs AS BIGINT) / CAST(sr AS DOUBLE), 6) AS duration_s,
+               TRUE AS decode_ok
+        FROM a ORDER BY audio_id
+    """
+    out["video_frame_meta"] = """
+        WITH v AS (
+            SELECT event_id AS i,
+                   CAST(6 + (event_id % 3) * 6 AS INT) AS nf
+            FROM events WHERE event_id < 500)
+        SELECT 'vid' || lpad(CAST(i AS VARCHAR), 12, '0') AS video_id,
+               CAST(unnest(range(0, nf, 6)) AS INT) AS frame,
+               nf AS n_frames, CAST(6 AS INT) AS fps,
+               CAST(32 AS INT) AS w, CAST(32 AS INT) AS h
+        FROM v ORDER BY video_id, frame
     """
     # intentionally absent (rows-only check): image_decode_stats only —
     # binary payloads with engine-side codecs have no SQL-expressible oracle

@@ -194,6 +194,51 @@ def images_df(spark: SparkSession, n: int, with_pixels: bool = True) -> DataFram
     return spark.range(n).mapInPandas(gen, schema=IMAGES_SCHEMA)
 
 
+AUDIO_SCHEMA = "audio_id string, bytes binary, sample_rate int, caption string"
+VIDEO_SCHEMA = "video_id string, bytes binary, n_frames int, fps int, caption string"
+
+
+def audio_df(spark: SparkSession, n: int) -> DataFrame:
+    """Deterministic audio rows (fake FAU1 payloads), partition-parallel."""
+    from pgosm_flex_spark.images import codec
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in b["id"].tolist():
+                i = int(i)
+                sr = 16000 if i % 3 else 8000
+                pcm = codec.synth_audio(i, sample_rate=sr, seconds=0.5 + (i % 4) * 0.25)
+                rows.append(
+                    (f"aud{i:012d}", codec.encode_audio(pcm, sr), sr, caption_of(i))
+                )
+            yield pd.DataFrame(
+                rows, columns=["audio_id", "bytes", "sample_rate", "caption"]
+            )
+
+    return spark.range(n).mapInPandas(gen, schema=AUDIO_SCHEMA)
+
+
+def video_df(spark: SparkSession, n: int) -> DataFrame:
+    """Deterministic video rows (fake FVI1 payloads), partition-parallel."""
+    from pgosm_flex_spark.images import codec
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in b["id"].tolist():
+                i = int(i)
+                nf = 6 + (i % 3) * 6
+                rows.append(
+                    (f"vid{i:012d}", codec.synth_video(i, n_frames=nf), nf, 6, caption_of(i))
+                )
+            yield pd.DataFrame(
+                rows, columns=["video_id", "bytes", "n_frames", "fps", "caption"]
+            )
+
+    return spark.range(n).mapInPandas(gen, schema=VIDEO_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # feature side: admin hierarchy + streets + misc features
 # ---------------------------------------------------------------------------

@@ -5,8 +5,11 @@ Arrow-batched ``mapInPandas`` with bounded batch sizes, deterministic
 outputs. The pixel work uses the engine codecs (zlib-based; see
 images/codec.py) — swapping in PIL/libjpeg changes only the codec module.
 
-Audio/video decode are stubbed behind NotImplementedError with the same
-operator signatures, as those libraries are absent in this container.
+Audio/video use DETERMINISTIC FAKE codecs (codec.py FAU1/FVI1 containers —
+libsndfile/ffmpeg are absent in this container, clearly marked per op); the
+Spark plumbing around them (schemas, batching, per-frame explode, random
+frame access) is real and tested, and a real codec swap touches only
+codec.py.
 """
 
 from __future__ import annotations
@@ -105,18 +108,97 @@ def extract_features(images: DataFrame, grid: int = 4) -> DataFrame:
     return images.select("image_id", "bytes").mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
-def decode_audio(rows: DataFrame) -> DataFrame:
-    """Audio decode — library absent in this container; plumbing contract
-    mirrors decode_stats (binary column in, typed stats out)."""
-    raise NotImplementedError(
-        "audio decode requires an audio codec library not present in this "
-        "environment; the mapInPandas plumbing contract matches decode_stats"
-    )
+AUDIO_STATS_SCHEMA = (
+    "audio_id string, sample_rate int, n_samples long, duration_s double, "
+    "rms double, peak int, zero_crossings long, decode_ok boolean"
+)
+
+
+def audio_stats(rows: DataFrame) -> DataFrame:
+    """Decode every audio payload; emit per-row signal stats — the audio
+    analog of decode_stats. CODEC IS A DETERMINISTIC FAKE (codec.py FAU1
+    container; libsndfile/ffmpeg absent in this environment) — swapping in a
+    real decoder changes only codec.decode_audio_bytes; the Spark plumbing
+    (binary column in, Arrow-batched typed stats out) is real and tested."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for r in b.itertuples(index=False):
+                try:
+                    pcm, sr = codec.decode_audio_bytes(bytes(r.bytes))
+                    x = pcm.astype(np.float64)
+                    zc = int(((pcm[:-1].astype(np.int32) ^ pcm[1:].astype(np.int32)) < 0).sum())
+                    out.append(
+                        (r.audio_id, sr, pcm.shape[0], pcm.shape[0] / sr,
+                         float(np.sqrt((x * x).mean())), int(np.abs(pcm).max()),
+                         zc, True)
+                    )
+                except Exception:
+                    out.append((r.audio_id, None, None, None, None, None, None, False))
+            yield pd.DataFrame(
+                out,
+                columns=["audio_id", "sample_rate", "n_samples", "duration_s",
+                         "rms", "peak", "zero_crossings", "decode_ok"],
+            )
+
+    return rows.select("audio_id", "bytes").mapInPandas(run, schema=AUDIO_STATS_SCHEMA)
+
+
+AUDIO_FRAMES_SCHEMA = "audio_id string, frame int, energy double"
+
+
+def frame_audio_energy(rows: DataFrame, frame_ms: int = 25) -> DataFrame:
+    """Fixed-window framing → per-frame RMS energy (the feature-extraction
+    stage of a speech pipeline); one output row per frame."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, frames, energy = [], [], []
+            for r in b.itertuples(index=False):
+                pcm, sr = codec.decode_audio_bytes(bytes(r.bytes))
+                step = max(int(sr * frame_ms / 1000), 1)
+                n_frames = len(pcm) // step
+                if n_frames == 0:
+                    continue
+                x = pcm[: n_frames * step].astype(np.float64).reshape(n_frames, step)
+                e = np.sqrt((x * x).mean(axis=1))
+                ids.extend([r.audio_id] * n_frames)
+                frames.extend(range(n_frames))
+                energy.extend(e.tolist())
+            yield pd.DataFrame({"audio_id": ids, "frame": frames, "energy": energy})
+
+    return rows.select("audio_id", "bytes").mapInPandas(run, schema=AUDIO_FRAMES_SCHEMA)
+
+
+VIDEO_FRAMES_SCHEMA = (
+    "video_id string, frame int, n_frames int, fps int, bytes binary, w int, h int, fmt string"
+)
 
 
 def sample_video_frames(rows: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame sampling — library absent; see decode_audio."""
-    raise NotImplementedError(
-        "video decode requires a video codec library not present in this "
-        "environment; the mapInPandas plumbing contract matches decode_stats"
-    )
+    """Frame sampling: one output row per every_n-th frame, re-encoded as an
+    image payload so the sampled frames feed the image ops (decode_stats /
+    resize / extract_features) unchanged. Random access via the container's
+    frame index — only sampled frames are decompressed, which is the I/O
+    property that matters at 10^12-frame scale. CODEC IS A DETERMINISTIC
+    FAKE (codec.py FVI1; ffmpeg absent) — the sampling plumbing is real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for r in b.itertuples(index=False):
+                data = bytes(r.bytes)
+                n_frames, h, w, fps = codec.video_meta(data)
+                for fi in range(0, n_frames, every_n):
+                    arr = codec.decode_video_frame(data, fi)
+                    out.append(
+                        (r.video_id, fi, n_frames, fps,
+                         codec.encode(arr, "png"), w, h, "png")
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["video_id", "frame", "n_frames", "fps", "bytes", "w", "h", "fmt"],
+            )
+
+    return rows.select("video_id", "bytes").mapInPandas(run, schema=VIDEO_FRAMES_SCHEMA)

@@ -134,11 +134,13 @@ def test_image_resize_and_features(spark):
     assert all(0.0 <= float(np.min(f)) and float(np.max(f)) <= 1.0 for f in feats["features"])
 
 
-def test_audio_video_stubs():
-    with pytest.raises(NotImplementedError):
-        img_ops.decode_audio(None)
-    with pytest.raises(NotImplementedError):
-        img_ops.sample_video_frames(None)
+def test_audio_codec_roundtrip():
+    import numpy as np
+    from pgosm_flex_spark.images import codec
+
+    pcm = codec.synth_audio(7, sample_rate=8000, seconds=0.25)
+    got, sr = codec.decode_audio_bytes(codec.encode_audio(pcm, 8000))
+    assert sr == 8000 and (got == pcm).all()
 
 
 def test_ivf_recall_vs_brute_force(spark):
@@ -182,3 +184,50 @@ def test_char_ngram_jaccard_detects_boundary_edits(spark):
     assert all(3 not in p for p in got)
     word = dedup.jaccard_pairs(docs, threshold=0.4).collect()
     assert all((r["doc_a"], r["doc_b"]) != (1, 2) or r["jaccard"] < 0.8 for r in word)
+
+
+def test_audio_stats_and_framing(spark):
+    import numpy as np
+    from pgosm_flex_spark import fixtures
+    from pgosm_flex_spark.images import codec
+    from pgosm_flex_spark.images import ops as img_ops
+
+    rows = fixtures.audio_df(spark, 20)
+    stats = img_ops.audio_stats(rows).toPandas().set_index("audio_id")
+    assert len(stats) == 20 and stats["decode_ok"].all()
+    # numpy oracle for one row
+    # i=3: i % 3 == 0 -> sr 8000; seconds = 0.5 + (3 % 4) * 0.25 = 1.25
+    pcm = codec.synth_audio(3, sample_rate=8000, seconds=1.25)
+    r = stats.loc["aud000000000003"]
+    assert r["n_samples"] == len(pcm)
+    assert r["rms"] == np.sqrt((pcm.astype(np.float64) ** 2).mean())
+    frames = img_ops.frame_audio_energy(rows, frame_ms=25).toPandas()
+    g = frames[frames.audio_id == "aud000000000003"]
+    assert len(g) == len(pcm) // int(8000 * 0.025)
+    assert (g.sort_values("frame")["frame"].to_numpy() == np.arange(len(g))).all()
+
+
+def test_video_frame_sampling_feeds_image_ops(spark):
+    import numpy as np
+    from pgosm_flex_spark import fixtures
+    from pgosm_flex_spark.images import codec
+    from pgosm_flex_spark.images import ops as img_ops
+    from pyspark.sql import functions as F
+
+    vids = fixtures.video_df(spark, 10)
+    sampled = img_ops.sample_video_frames(vids, every_n=6)
+    pdf = sampled.toPandas()
+    # one row per every-6th frame: n_frames 6/12/18 -> 1/2/3 samples
+    exp = sum(1 + ((6 + (i % 3) * 6) - 1) // 6 for i in range(10))
+    assert len(pdf) == exp
+    # sampled frame pixels match the synthetic truth (random access decode)
+    row = pdf[(pdf.video_id == "vid000000000001") & (pdf.frame == 6)].iloc[0]
+    got = codec.decode(bytes(row["bytes"]))
+    truth = np.roll(codec.synth_pixels(1, 32, 32), shift=18, axis=1)
+    assert (got == truth).all()
+    # frames flow into the image feature op unchanged
+    feats = img_ops.extract_features(
+        sampled.select(F.col("video_id").alias("image_id"), "bytes")
+    )
+    assert feats.count() == exp
+    assert len(feats.first()["features"]) == 48
