@@ -105,6 +105,30 @@ def main() -> None:
     # ---- tiles
     timed("q_tiles_z12", lambda: tile_counts(pts, zoom=12).count())
 
+    # ---- tag→schema layer mapping over the full caption stream (the
+    # reference's core import stage): every image row through all 20 layers'
+    # CASE logic, counted via one union job
+    captions = tagf.with_tags(images).select(
+        F.col("image_id").cast("string").alias("caption_id"), "tags", "lon", "lat"
+    )
+    osm_like = captions.select(
+        F.xxhash64("caption_id").alias("osm_id"),
+        F.lit("N").alias("geom_type"), F.lit(False).alias("is_closed"),
+        "tags", "lon", "lat",
+        F.lit(None).cast("binary").alias("geom_wkb"),
+        F.lit(None).cast("array<long>").alias("member_ids"),
+    ).persist()
+    osm_like.count()  # cache the shared scan (the import job does the same)
+
+    tbls = build_layer_tables(osm_like, layerset="everything")
+    layer_ids = None
+    for name, df in tbls.items():
+        sel = df.select("osm_id")
+        layer_ids = sel if layer_ids is None else layer_ids.unionByName(sel)
+    # plan analysis of the 44-way union happens once (as in a real import);
+    # the timed part is the mapping execution over the cached scan
+    timed("q_layer_mapping", lambda: layer_ids.count(), reps=repeat)
+
     # ---- kNN: adaptive multi-resolution (hot-cell skew: 30% of features in
     # one disc); 20k synthetic feature points
     from pgosm_flex_spark.operators.knn import knn_join_adaptive
