@@ -209,3 +209,52 @@ def test_pip_shuffle_salted_matches_broadcast(world, points, spark):
     got_bc = {(r["image_id"], r["osm_id"]) for r in bc.collect()}
     got_sh = {(r["image_id"], r["osm_id"]) for r in sh.collect()}
     assert got_bc == got_sh and len(got_bc) > 0
+
+
+def test_pip_join_point_side_no_shuffle(world, points, spark):
+    """Scale guard: the point side of the flagship join must cross ZERO
+    shuffle exchanges — cover broadcast only (BASELINE.md plan audit)."""
+    from pgosm_flex_spark.operators.pip_join import build_polygon_cover
+
+    pts_df, _ = points
+    polys = world["place_polygon"].filter(F.col("osm_id") > 0).filter(
+        F.col("geom_wkb").isNotNull()
+    )
+    # truncate input lineage so the audited plan is the JOIN pipeline itself
+    # (the polygon side's own dedup shuffles are out of scope here)
+    pts = pts_df.localCheckpoint(eager=True)
+    cover = build_polygon_cover(polys).localCheckpoint(eager=True)
+    out = pip_join(pts, polys, point_cols=["image_id"], cover=cover)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
+    assert plan.count("BroadcastExchange") >= 1
+
+
+def test_knn_adaptive_point_side_no_shuffle(spark):
+    """Scale guard: adaptive kNN's point pipeline (level pick -> ring explode
+    -> broadcast candidate join -> streaming topk) must not hash-partition
+    the point side."""
+    import pandas as pd
+    from pgosm_flex_spark.operators.knn import knn_join_adaptive
+
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": [f"p{i}" for i in range(200)],
+                "lon": [fixtures.point_lonlat(i)[0] for i in range(200)],
+                "lat": [fixtures.point_lonlat(i)[1] for i in range(200)],
+            }
+        )
+    )
+    feats = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "osm_id": list(range(300)),
+                "lon": [fixtures.point_lonlat(9000 + i)[0] for i in range(300)],
+                "lat": [fixtures.point_lonlat(9000 + i)[1] for i in range(300)],
+            }
+        )
+    )
+    out = knn_join_adaptive(pts, feats, k=3, point_id="image_id", feature_id="osm_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
