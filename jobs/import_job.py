@@ -37,6 +37,12 @@ def main() -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--date", default="1970-01-01")
     p.add_argument("--mode", default="create", choices=["create", "append"])
+    p.add_argument(
+        "--diff",
+        help="(append mode) parquet of new/changed image rows; only the "
+        "coarse cells these rows touch are recomputed (I2/I3 semantics)",
+    )
+    p.add_argument("--unit-res", type=int, default=4, help="checkpoint unit cell resolution")
     p.add_argument("--force", action="store_true")
     p.add_argument("--skip-nested", action="store_true")
     p.add_argument("--cpus", type=int, default=None)
@@ -77,20 +83,45 @@ def main() -> int:
         images = fixtures.images_df(spark, args.n_images, with_pixels=False)
     pts = tagf.with_tags(images).filter(F.col("lon").isNotNull())
 
+    # 2b. append start (I2): a diff invalidates exactly the coarse cells it
+    # touches — the join below recomputes ONLY those units (their partition
+    # dirs overwrite idempotently; every other unit's files stay, the
+    # reference's per-region invalidation instead of row patching)
+    touched_units = None
+    if args.mode == "append" and args.diff:
+        from pgosm_flex_spark.index import cells
+        from pgosm_flex_spark.streaming.incremental import affected_cells
+
+        diff_pts = tagf.with_tags(spark.read.parquet(args.diff)).filter(
+            F.col("lon").isNotNull()
+        )
+        touched = affected_cells(diff_pts, res=args.unit_res)
+        touched_units = touched.count()
+        pts_cell = pts.withColumn(
+            "__unit", cells.cell_col(F.col("lon"), F.col("lat"), args.unit_res)
+        )
+        pts = pts_cell.join(
+            F.broadcast(touched), pts_cell["__unit"] == touched["cell"]
+        ).drop("cell", "__unit")
+
     # 3. layer mapping over one shared scan (feature side: fixture world)
     osm = fixtures.osm_objects_df(spark).cache()
     tables = build_layer_tables(osm, layerset=args.layerset)
 
-    # 4. post-processing (fresh imports only — the reference's
-    # dedup-only-on-fresh-import asymmetry, SURVEY.md §3.3)
-    if mode.run_post_sql and "place_polygon" in tables:
+    # 4. post-processing: relation dedup always precedes the join (it defines
+    # the place_polygon table); the nested rebuild runs on fresh imports
+    # (run_post_sql) AND at append finish (I3 — replication_functions.sql:22-38
+    # refreshes derived artifacts after applying a diff)
+    if "place_polygon" in tables:
         tables["place_polygon"] = relation_member_dedup(tables["place_polygon"])
-        if not args.skip_nested:
+        if not args.skip_nested and (mode.run_post_sql or args.mode == "append"):
             tables["place_polygon_nested"] = build_nested_admin_polygons(
                 tables["place_polygon"].filter(F.col("geom_wkb").isNotNull())
             )
 
-    # 5. flagship containment join, checkpointed per coarse cell
+    # 5. flagship containment join, checkpointed per coarse cell; in append
+    # mode pts is already restricted to touched cells and the dated job_id
+    # makes their units recompute while untouched unit dirs persist
     pair_metrics = {}
     if "place_polygon" in tables:
         polys = tables["place_polygon"].filter(F.col("geom_wkb").isNotNull())
@@ -101,6 +132,7 @@ def main() -> int:
             os.path.join(args.out, "image_place_pairs"),
             job_id=f"{args.region}-{args.date}",
             point_cols=["image_id"],
+            unit_res=args.unit_res,
         )
 
     # 6. export bundle
@@ -112,6 +144,8 @@ def main() -> int:
         "total": len(pair_metrics),
         "skipped_resume": sum(1 for m in pair_metrics.values() if m.get("skipped")),
     }
+    if touched_units is not None:
+        manifest["pip_units"]["append_touched_cells"] = touched_units
     manifest["wall_seconds"] = round(time.time() - t0, 1)
     with open(prior_path, "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)

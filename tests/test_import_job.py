@@ -1,0 +1,93 @@
+"""End-to-end drive of the import job (create → resume → append-with-diff),
+in-process — the SURVEY §3.1 lifecycle against real output directories."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgosm_flex_spark import fixtures
+
+
+def run_job(argv: list[str]) -> int:
+    sys.path.insert(0, "/root/repo/jobs")
+    import import_job
+
+    old = sys.argv
+    sys.argv = ["import_job.py"] + argv
+    try:
+        return import_job.main()
+    finally:
+        sys.argv = old
+
+
+@pytest.fixture(scope="module")
+def job_out(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("job"))
+    rc = run_job(
+        ["--out", out, "--n-images", "2000", "--layerset", "minimal",
+         "--skip-nested", "--unit-res", "13", "--date", "2026-01-01"]
+    )
+    assert rc == 0
+    return out
+
+
+def test_create_writes_pairs_and_manifest(spark, job_out):
+    manifest = json.load(open(os.path.join(job_out, "manifest.json")))
+    assert manifest["pip_units"]["total"] > 5
+    assert manifest["pip_units"]["skipped_resume"] == 0
+    assert manifest["tables"]["place_polygon"] > 0
+    assert spark.read.parquet(*glob.glob(f"{job_out}/image_place_pairs/unit=*")).count() > 0
+
+
+def test_rerun_without_force_refuses(spark, job_out):
+    rc = run_job(
+        ["--out", job_out, "--n-images", "2000", "--layerset", "minimal",
+         "--skip-nested", "--unit-res", "13", "--date", "2026-01-01"]
+    )
+    assert rc == 2  # prior data + no --force + not append -> refuse
+
+
+def test_append_with_diff_recomputes_touched_cells_only(spark, job_out, tmp_path):
+    # diff = 150 new images (ids 2000..2149); full current input = 2150
+    diff_dir = str(tmp_path / "diff")
+    full_dir = str(tmp_path / "full")
+    all_imgs = fixtures.images_df(spark, 2150, with_pixels=False)
+    all_imgs.write.parquet(full_dir)
+    all_imgs.filter(F.col("image_id") >= "img000000002000").write.parquet(diff_dir)
+
+    before_units = {
+        d: os.path.getmtime(d) for d in glob.glob(f"{job_out}/image_place_pairs/unit=*")
+    }
+    rc = run_job(
+        ["--out", job_out, "--input", full_dir, "--diff", diff_dir,
+         "--mode", "append", "--layerset", "minimal", "--skip-nested",
+         "--unit-res", "13", "--date", "2026-02-01"]
+    )
+    assert rc == 0
+    manifest = json.load(open(os.path.join(job_out, "manifest.json")))
+    touched = manifest["pip_units"]["append_touched_cells"]
+    assert 0 < touched < len(before_units) + 5
+    assert manifest["pip_units"]["total"] == touched
+
+    # stored pairs == full recompute over the current 2150 images
+    from pgosm_flex_spark.functions import tags as tagf
+    from pgosm_flex_spark.layers import build_layer_tables
+    from pgosm_flex_spark.operators import pip_join, relation_member_dedup
+
+    pts = tagf.with_tags(all_imgs).select("image_id", "lon", "lat")
+    osm = fixtures.osm_objects_df(spark)
+    polys = relation_member_dedup(
+        build_layer_tables(osm, layerset="minimal")["place_polygon"]
+    ).filter(F.col("geom_wkb").isNotNull())
+    exp = pip_join(pts, polys, point_cols=["image_id"]).select("image_id", "osm_id")
+    got = spark.read.parquet(*glob.glob(f"{job_out}/image_place_pairs/unit=*")).select(
+        "image_id", "osm_id"
+    )
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
