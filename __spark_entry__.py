@@ -244,6 +244,9 @@ _GOLDEN_FAMS: dict[str, dict[int, tuple[str, str | None]]] = {
         9: ("amenity", "cafe"), 7: ("shop", "bakery"), 8: ("shop", "supermarket"),
         10: ("building", "yes"), 23: ("man_made", "water_tower"),
         36: ("shop", "cafe"), 44: ("amenity", "parking"),
+        45: ("leisure", "park"), 46: ("natural", "peak"),
+        48: ("tourism", "hotel"),
+        # landuse=forest is NOT poi (second-level landuse check rejects it)
     },
     "public_transport": {
         25: ("platform", None), 26: ("railway", "station"),
@@ -266,6 +269,11 @@ _GOLDEN_FAMS: dict[str, dict[int, tuple[str, str | None]]] = {
         40: ("traffic_calming", "hump"), 41: ("stop", None),
         42: ("crossing", None), 44: ("amenity", "parking"),
     },
+    "natural": {37: ("street_lamp", None), 46: ("peak", None)},
+    "landuse": {47: ("forest", None)},
+    "leisure": {45: ("park", None)},
+    # road nodes: any highway value lands in road_point
+    "road_point": {30: ("pedestrian", None), 41: ("stop", None)},
 }
 
 # geometry routing in oracle arithmetic: g = id%4 (0 N, 1 W-open, 2 W-closed,
@@ -308,6 +316,20 @@ _GOLDEN_TABLES: list[tuple[str, str, str, str, bool]] = [
     ("traffic_point_counts", "traffic", "traffic_point", "point", True),
     ("traffic_line_counts", "traffic", "traffic_line", "line", True),
     ("traffic_polygon_counts", "traffic", "traffic_polygon", "polygon_ways", True),
+    ("natural_point_counts", "natural", "natural_point", "point", False),
+    ("natural_line_counts", "natural", "natural_line", "line", False),
+    ("natural_polygon_counts", "natural", "natural_polygon", "polygon", False),
+    ("landuse_point_counts", "landuse", "landuse_point", "point", False),
+    ("landuse_polygon_counts", "landuse", "landuse_polygon", "polygon", False),
+    ("leisure_point_counts", "leisure", "leisure_point", "point", False),
+    ("leisure_polygon_counts", "leisure", "leisure_polygon", "polygon", False),
+    ("road_point_counts", "road", "road_point", "point", False),
+    ("amenity_line_counts", "amenity", "amenity_line", "line", False),
+    ("amenity_polygon_counts", "amenity", "amenity_polygon", "polygon", False),
+    ("building_point_counts", "building", "building_point", "point", True),
+    ("building_polygon_counts", "building", "building_polygon", "polygon", True),
+    ("water_point_counts", "water", "water_point", "point", True),
+    ("place_point_counts", "place", "place_point", "point", False),
 ]
 
 # combined_point builders live under their own layer key; map to the family
@@ -318,7 +340,28 @@ _GOLDEN_FAM_KEY = {
     "shop_combined_point": "shop",
 }
 # query-key-specific expectation overrides (geometry-dependent fam sets)
-_GOLDEN_FAM_BY_QUERY = {"traffic_polygon_counts": "traffic_polygon"}
+_GOLDEN_FAM_BY_QUERY = {
+    "traffic_polygon_counts": "traffic_polygon",
+    "road_point_counts": "road_point",
+}
+
+
+def q_tags_geomtype_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tags escape-hatch table: every mixed row has tags after cleaning, so
+    counts reduce to the geometry split."""
+    from pgosm_flex_spark.layers.registry import LAYER_BUILDERS
+
+    osm = td.derived_osm_objects_mixed(spark, sf_dir)
+    t = LAYER_BUILDERS["tags"](osm)["tags"]
+    return t.groupBy("geom_type").agg(F.count(F.lit(1)).alias("n")).orderBy("geom_type")
+
+
+def q_road_major_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """road_major layer (major-road subset of road_line) over the original
+    caption families."""
+    osm = td.derived_osm_objects(spark, sf_dir)
+    rm = build_layer_tables(osm, layerset="everything")["road_major"]
+    return rm.groupBy("osm_type").agg(F.count(F.lit(1)).alias("n")).orderBy("osm_type")
 
 
 def _q_golden_counts(layer: str, table: str, with_subtype: bool):
@@ -844,6 +887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_counts_z12": q_tile_counts_z12,
         "cell_counts_res12": q_cell_counts_res12,
         "road_type_counts": q_road_type_counts,
+        "road_major_counts": q_road_major_counts,
+        "tags_geomtype_counts": q_tags_geomtype_counts,
         "road_line_aggregates": q_road_line_aggregates,
         "place_type_counts": q_place_type_counts,
         "poi_type_subtype_counts": q_poi_type_subtype_counts,
@@ -1040,8 +1085,22 @@ def _oracle_layers() -> dict[str, str]:
              AND event_id % 8 IN (0, 1, 2, 5)) AS route_motor
         FROM events WHERE event_id < 300 ORDER BY event_id
     """
+    road_major = """
+        SELECT CASE CAST(event_id % 8 AS INT)
+                 WHEN 0 THEN 'motorway' WHEN 1 THEN 'primary' END AS osm_type,
+               COUNT(*) AS n
+        FROM events WHERE event_id % 8 IN (0, 1) GROUP BY 1 ORDER BY 1
+    """
+    tags_geom = """
+        SELECT CASE WHEN event_id % 4 = 0 THEN 'N'
+                    WHEN event_id % 4 = 3 THEN 'R' ELSE 'W' END AS geom_type,
+               COUNT(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1
+    """
     return {
         "road_type_counts": road_counts,
+        "road_major_counts": road_major,
+        "tags_geomtype_counts": tags_geom,
         "road_line_aggregates": road_aggs,
         "place_type_counts": place_counts,
         "poi_type_subtype_counts": poi_counts,

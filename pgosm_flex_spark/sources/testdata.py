@@ -192,8 +192,18 @@ MIXED_FAMILY_TAGS: dict[int, str] = {
     42: "railway=level_crossing",
     43: "noexit=yes",
     44: "amenity=parking",
+    # landuse / leisure / natural / tourism layer families
+    45: "leisure=park",
+    46: "natural=peak ele=1955%20m",
+    47: "landuse=forest",
+    48: "tourism=hotel",
 }
-MIXED_MOD = 45
+# MUST stay coprime with 8: family = id % MIXED_MOD and geometry = id % 4 /
+# relation-type = id % 8 have to hit every (family, geometry) combination —
+# a shared factor silently empties whole table × family cells (a 48 here
+# pinned every family to ONE geometry kind and gutted the golden counts)
+MIXED_MOD = 49
+assert MIXED_MOD % 2 == 1
 
 MIXED_CAPTION_SQL = (
     "concat("
