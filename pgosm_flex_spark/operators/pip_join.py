@@ -115,6 +115,7 @@ def pip_join(
     max_cells_per_poly: int = DEFAULT_MAX_CELLS,
     broadcast_cover: bool = True,
     cover: DataFrame | None = None,
+    res_levels: list[int] | None = None,
     salt: int = 8,
 ) -> DataFrame:
     """points ⋈_within polygons → ``point_cols + [poly_id]``, one row per
@@ -140,10 +141,16 @@ def pip_join(
         cover = build_polygon_cover(
             polygons, poly_id, wkb_col, fine_res, coarse_res, max_cells_per_poly
         )
-    res_levels = sorted(
-        r["res"] for r in cover.select(
-            F.shiftright("cell", 58).alias("res")).distinct().collect()
-    )
+    if res_levels is None:
+        # one bounded driver collect (≤ fine-coarse+1 rows); callers doing
+        # repeated joins against the same cover pass res_levels explicitly
+        # to skip this job (the checkpointed unit loop does)
+        res_levels = sorted(
+            r["res"] for r in cover.select(
+                F.shiftright("cell", 58).alias("res")).distinct().collect()
+        )
+    else:
+        res_levels = sorted(set(res_levels))
 
     # ONE join: each point explodes its ancestor cell at every resolution
     # present in the cover (≤ fine-coarse+1 rows, typically 2-4) and probes

@@ -177,10 +177,19 @@ def checkpointed_pip_join(
     units = [str(r["__unit"]) for r in pts.select("__unit").distinct().collect()]
     cover = build_polygon_cover(polygons).persist()
     cover.count()
+    # resolve the cover's resolution levels ONCE — per-unit pip_join calls
+    # would otherwise each run a collect job just to rediscover them
+    levels = sorted(
+        r["res"] for r in cover.select(
+            F.shiftright("cell", 58).alias("res")).distinct().collect()
+    )
 
     def process(unit: str) -> dict:
         sub = pts.filter(F.col("__unit") == int(unit))
-        pairs = pip_join(sub, polygons, point_cols=point_cols, cover=cover, **pip_kwargs)
+        pairs = pip_join(
+            sub, polygons, point_cols=point_cols, cover=cover,
+            res_levels=levels, **pip_kwargs,
+        )
         target = os.path.join(out_dir, f"unit={unit}")
         pairs.write.mode("overwrite").parquet(target)
         n = spark.read.parquet(target).count()
