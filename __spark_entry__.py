@@ -537,6 +537,19 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring + BPE-ish subword counting — the training-data filter
+    columns, value-matched against the same arithmetic in DuckDB."""
+    docs = td.load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        analysis.bpe_ish_token_count(t).alias("n_subtokens"),
+        F.round(analysis.mean_word_len(t), 6).alias("mean_word_len"),
+        F.round(analysis.quality_score(t), 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
 def q_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = td.load(spark, sf_dir, "documents")
     return (
@@ -899,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "user_event_stats": q_user_event_stats,
         "doc_token_stats": q_doc_token_stats,
+        "doc_quality": q_doc_quality,
         "lang_counts": q_lang_counts,
         "exact_dup_groups": q_exact_dup_groups,
         "word_jaccard_pairs": q_word_jaccard_pairs,
@@ -1179,6 +1193,27 @@ def _oracle_docs() -> dict[str, str]:
         SELECT {pred_lang} AS pred_lang, COUNT(*) AS n FROM documents
         GROUP BY 1 ORDER BY 1
     """
+    from pgosm_flex_spark.text.analysis import BPE_ISH_PATTERN
+
+    ntok = f"len({toks})"
+    mwl = f"""CASE WHEN {ntok} > 0
+        THEN CAST(list_sum(list_transform({toks}, w -> length(w))) AS DOUBLE) / {ntok}
+        ELSE 0.0 END"""
+    stop_ratio = f"""CASE WHEN {ntok} > 0
+        THEN CAST({stop_cnt} AS DOUBLE) / {ntok} ELSE 0.0 END"""
+    quality = f"""(
+        (CASE WHEN {ntok} >= 5 AND {ntok} <= 1000 THEN 1.0 ELSE 0.0 END)
+        + (CASE WHEN ({stop_ratio}) > 0.05 AND ({stop_ratio}) < 0.6 THEN 1.0 ELSE 0.0 END)
+        + (CASE WHEN ({mwl}) >= 2.0 AND ({mwl}) <= 12.0 THEN 1.0 ELSE 0.0 END)
+    ) / 3.0"""
+    doc_quality = f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS INT)
+                   AS n_subtokens,
+               ROUND({mwl}, 6) AS mean_word_len,
+               ROUND({quality}, 6) AS quality
+        FROM documents ORDER BY doc_id
+    """
     dupdocs = """
         SELECT doc_id, text FROM documents
         UNION ALL
@@ -1281,6 +1316,7 @@ def _oracle_docs() -> dict[str, str]:
     """
     return {
         "doc_token_stats": token_stats,
+        "doc_quality": doc_quality,
         "lang_counts": lang_counts,
         "exact_dup_groups": exact_dups,
         "word_jaccard_pairs": jaccard,

@@ -31,6 +31,24 @@ def token_count(text: Column) -> Column:
     return F.size(tokens_col(text))
 
 
+# GPT2-ish subword pre-tokenization over the ASCII range: a leading-space
+# letter run, digit run, or punctuation run (kept to ASCII classes so Java
+# regex (Spark) and RE2 (DuckDB oracle) agree byte-for-byte)
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Subword token count: number of BPE-ish pre-token matches — the cheap
+    stand-in for a real tokenizer's length signal in a training-data
+    pipeline (budgeting, truncation, quality filters)."""
+    return F.size(
+        F.filter(
+            F.regexp_extract_all(text, F.lit(f"({BPE_ISH_PATTERN})"), 1),
+            lambda m: m != "",
+        )
+    )
+
+
 def word_occurrences(text: Column, word: str) -> Column:
     """Occurrences of ``word`` as a whitespace-delimited token."""
     padded = F.concat(F.lit(" "), text, F.lit(" "))
