@@ -84,6 +84,25 @@ def export_bundle(
     return manifest
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and optionally sorted) on a key — the
+    co-located-join layout: two tables bucketed the same way join with NO
+    shuffle on either side (SortMergeJoin reads bucket files directly). The
+    cell column is the natural bucket key for repeated spatial joins; at
+    Iceberg this maps to a bucket partition transform."""
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
 def merge_into_partitioned(
     spark: SparkSession,
     target_dir: str,

@@ -117,3 +117,47 @@ def test_merge_into_partitioned_upsert(spark, tmp_path):
     # untouched partition's files were not rewritten
     for f, mt in untouched_files.items():
         assert os.path.exists(f) and os.path.getmtime(f) == mt
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on the same cell key must join with ZERO
+    exchanges — the co-located layout for repeated spatial joins."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pgosm_flex_spark.index import cells
+    from pgosm_flex_spark.sinks import write_bucketed
+
+    from pgosm_flex_spark import fixtures
+
+    pdf = pd.DataFrame(
+        {
+            "image_id": [f"i{i}" for i in range(2000)],
+            "lon": [fixtures.point_lonlat(i)[0] for i in range(2000)],
+            "lat": [fixtures.point_lonlat(i)[1] for i in range(2000)],
+        }
+    )
+    pts = spark.createDataFrame(pdf).withColumn(
+        "cell", cells.cell_col(F.col("lon"), F.col("lat"), 10)
+    )
+    feats = spark.createDataFrame(pdf.iloc[:500].assign(fid=range(500))).withColumn(
+        "cell", cells.cell_col(F.col("lon"), F.col("lat"), 10)
+    )
+    spark.sql("DROP TABLE IF EXISTS b_pts")
+    spark.sql("DROP TABLE IF EXISTS b_feats")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    write_bucketed(pts, "b_pts", "cell", n_buckets=8, sort_col="cell")
+    write_bucketed(feats.select("fid", "cell"), "b_feats", "cell", n_buckets=8, sort_col="cell")
+    try:
+        # disable auto-broadcast so the join would otherwise shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.table("b_pts")
+        b = spark.table("b_feats")
+        joined = a.join(b, "cell")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan[:1500]
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.sql("DROP TABLE IF EXISTS b_pts")
+        spark.sql("DROP TABLE IF EXISTS b_feats")
