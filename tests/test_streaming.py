@@ -86,3 +86,41 @@ def test_stream_first_seen_dedup_across_restarts(spark, tmp_path):
     got2 = {r["phash"]: r["image_id"] for r in spark.read.parquet(out).collect()}
     assert got2 == {**got1, 6: "k6"}
     assert len(glob.glob(os.path.join(ckpt, "state", "*"))) > 0
+
+
+def test_stream_tile_counts_drops_data_behind_watermark(spark, tmp_path):
+    """Watermark semantics across restarts: run 1 advances the watermark;
+    a run-2 row older than it is dropped from the aggregation, while a fresh
+    row lands."""
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    lon, lat = fixtures.point_lonlat(1)
+
+    # run 1: events 10:00..11:00 -> watermark advances to ~10:30 (30 min)
+    _write_json(
+        os.path.join(inp, "b1.json"),
+        [
+            {"ts": f"2026-08-16T10:{m:02d}:00", "lon": lon, "lat": lat, "image_id": f"a{m}"}
+            for m in (0, 20, 40)
+        ]
+        + [{"ts": "2026-08-16T11:00:00", "lon": lon, "lat": lat, "image_id": "max"}],
+    )
+    q = stream_tile_counts(spark, inp, ckpt, out, zoom=12, window="10 minutes")
+    q.awaitTermination(120)
+
+    # run 2 (same checkpoint): one row far behind the watermark, one fresh
+    _write_json(
+        os.path.join(inp, "b2.json"),
+        [
+            {"ts": "2026-08-16T09:00:00", "lon": lon, "lat": lat, "image_id": "late"},
+            {"ts": "2026-08-16T11:05:00", "lon": lon, "lat": lat, "image_id": "fresh"},
+        ],
+    )
+    q2 = stream_tile_counts(spark, inp, ckpt, out, zoom=12, window="10 minutes")
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    starts = {str(r["window_start"]) for r in got.select("window_start").collect()}
+    assert not any("09:00" in s for s in starts), starts  # late row dropped
+    assert any("11:00" in s for s in starts), starts      # fresh row landed
