@@ -714,15 +714,14 @@ def q_routing_vertex_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_route_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5: single-source shortest travel time over the built street network
-    (pgr_dijkstra + per-route SUM(cost) rollup analog,
-    /root/reference/db/deploy/routing_functions.sql:553-591). Source = the
-    smallest (lon, lat) vertex; 16 bounded relaxation rounds — the oracle
-    runs the identical DP in SQL, so results match without requiring
-    convergence arguments."""
+    """A5: single-source shortest travel time over the built street network,
+    run to CONVERGENCE like the reference's pgr_dijkstra + per-route
+    SUM(cost) rollup (/root/reference/db/deploy/routing_functions.sql:553-591).
+    Source = the smallest (lon, lat) vertex. The oracle runs a |V|-1-round
+    materialized SQL DP — convergence truth for non-negative weights."""
     from pgosm_flex_spark.operators.routing import (
         build_routing_network,
-        shortest_paths_khop,
+        shortest_paths,
     )
     from pgosm_flex_spark.sources.lookup import pgosm_road
 
@@ -730,7 +729,10 @@ def q_route_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges, vertices = build_routing_network(roads, lookup=pgosm_road(spark))
     edges = edges.persist()
     src = vertices.orderBy("lon", "lat").select("vertex_id").first()["vertex_id"]
-    dist = shortest_paths_khop(edges, src, k_hops=16)
+    dist = shortest_paths(edges, src)
+    # shortest_paths localCheckpoints each round, so dist is materialized and
+    # the cached edge table can be released before the lazy rollup returns
+    edges.unpersist(blocking=False)
     out = dist.join(vertices.select("vertex_id", "lon", "lat"), "vertex_id")
     res = out.select(
         "lon", "lat", F.round("dist", 2).alias("secs")
@@ -1471,10 +1473,14 @@ def _oracle_routing() -> dict[str, str]:
             OR (event_id % 11 = 3 AND event_id % 6 IN (4, 5)))
         ORDER BY event_id
     """
-    # bounded-hop SSSP: the same 16-round Bellman-Ford DP the engine runs,
-    # spelled as chained CTEs. Vertex keys are the quantized coordinates (the
-    # engine's vertex ids are coordinate content hashes); edge weights use the
-    # same haversine * (3.6 / lookup_speed) expression as the engine.
+    # convergence-truth SSSP: |V|-1 = 44 materialized Bellman-Ford rounds
+    # (grid has 45 vertices: 25 crossings + 20 endpoints), which for
+    # non-negative weights IS the converged fixpoint the engine's
+    # shortest_paths() iterates to. Vertex keys are the quantized coordinates
+    # (the engine's vertex ids are coordinate content hashes); edge weights
+    # use the same haversine * (3.6 / lookup_speed) expression as the engine.
+    # Every round is AS MATERIALIZED or DuckDB inlines the chain
+    # exponentially.
     q = "round(({v}) * 10000000) / 10000000.0"
     arcs_sql = f"""
         harc AS (
@@ -1498,8 +1504,9 @@ def _oracle_routing() -> dict[str, str]:
                   (SELECT ax, ay FROM arcs UNION SELECT bx, by FROM arcs)),
         d0 AS (SELECT vx0 AS vx, vy0 AS vy, 0.0 AS d FROM verts
                ORDER BY vx0, vy0 LIMIT 1)"""
+    n_rounds = 44
     rounds = []
-    for i in range(16):
+    for i in range(n_rounds):
         rounds.append(f"""
         d{i + 1} AS MATERIALIZED (
             SELECT vx, vy, MIN(d) AS d FROM (
@@ -1523,7 +1530,7 @@ def _oracle_routing() -> dict[str, str]:
         vseq AS (SELECT k, by, ROW_NUMBER() OVER (PARTITION BY k ORDER BY by) - 1 AS seq FROM vb),
         {arcs_sql},
         {','.join(rounds)}
-        SELECT vx AS lon, vy AS lat, ROUND(d, 2) AS secs FROM d16
+        SELECT vx AS lon, vy AS lat, ROUND(d, 2) AS secs FROM d{n_rounds}
         ORDER BY lon, lat
     """
     return {

@@ -181,18 +181,32 @@ def polygon_within(child: wkb_mod.Geom, container: wkb_mod.Geom) -> bool:
     boundary contact — a city on a state line is within the state), and no
     child edge properly crosses a container edge (catches an edge dipping
     through a concave notch while both endpoints stay inside). Even-odd over
-    all rings makes holes and concave notches reject. Degenerate tangencies
-    (an edge crossing exactly through a container vertex, a child exactly
-    filling a hole) are undefined at float precision — documented
+    all rings makes holes and concave notches reject. When any child vertex
+    sits ON the boundary, each child edge's midpoint is additionally tested:
+    an edge whose two endpoints both touch the boundary (e.g. the corners of
+    a concave notch) can run outside without any PROPER crossing, so the
+    vertex + crossing tests alone would falsely accept it. Degenerate
+    tangencies (an edge crossing exactly through a container vertex, a child
+    exactly filling a hole) are undefined at float precision — documented
     divergence (SURVEY §7.3)."""
     verts = np.concatenate(child.rings, axis=0)
     inside = points_in_rings(verts[:, 0], verts[:, 1], container.rings)
+    boundary_touch = False
     if not inside.all():
         on_b = points_on_boundary(verts[:, 0], verts[:, 1], container.rings)
         if not (inside | on_b).all():
             return False
+        boundary_touch = True
     c0 = np.concatenate([r[:-1] for r in child.rings], axis=0)
     c1 = np.concatenate([r[1:] for r in child.rings], axis=0)
+    if boundary_touch:
+        mx = (c0[:, 0] + c1[:, 0]) / 2.0
+        my = (c0[:, 1] + c1[:, 1]) / 2.0
+        m_in = points_in_rings(mx, my, container.rings)
+        if not m_in.all():
+            m_on = points_on_boundary(mx[~m_in], my[~m_in], container.rings)
+            if not m_on.all():
+                return False
     g0 = np.concatenate([r[:-1] for r in container.rings], axis=0)
     g1 = np.concatenate([r[1:] for r in container.rings], axis=0)
     return not segment_proper_crossings(c0, c1, g0, g1)

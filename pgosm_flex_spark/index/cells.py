@@ -158,48 +158,6 @@ def cell_res_col(cell: Column) -> Column:
     return F.shiftright(cell, _RES_SHIFT)
 
 
-def cell_col_at(lon: Column, lat: Column, res: Column) -> Column:
-    """cell_col with a per-row (column) resolution — still pure JVM math.
-    pow(2, res) is exact in doubles for res ≤ 30."""
-    n = F.pow(F.lit(2.0), res.cast("double"))
-    nmax = n.cast("long") - F.lit(1)
-    x = F.least(F.greatest(F.floor(merc_x_col(lon) * n), F.lit(0)), nmax)
-    y = F.least(F.greatest(F.floor(merc_y_col(lat) * n), F.lit(0)), nmax)
-    return (
-        res.cast("long") * F.lit(1 << _RES_SHIFT).cast("long")
-        + x.cast("long") * F.lit(1 << _X_SHIFT).cast("long")
-        + y.cast("long")
-    )
-
-
-def kring_col_at(cell: Column, k: int, res: Column) -> Column:
-    """kring_col with a per-row (column) resolution. Deduplicated (x-wrap at
-    tiny grids can alias neighbors)."""
-    n = F.pow(F.lit(2.0), res.cast("double")).cast("long")
-    x = cell_x_col(cell)
-    y = cell_y_col(cell)
-    pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(-k), F.lit(k)),
-            lambda dx: F.transform(
-                F.sequence(F.lit(-k), F.lit(k)),
-                lambda dy: F.struct(dx.alias("dx"), dy.alias("dy")),
-            ),
-        )
-    )
-    valid = F.filter(pairs, lambda p: (y + p["dy"] >= 0) & (y + p["dy"] < n))
-    return F.array_distinct(
-        F.transform(
-            valid,
-            lambda p: (
-                res.cast("long") * F.lit(1 << _RES_SHIFT).cast("long")
-                + (F.pmod(x + p["dx"], n)).cast("long") * F.lit(1 << _X_SHIFT).cast("long")
-                + (y + p["dy"]).cast("long")
-            ),
-        )
-    )
-
-
 def kring_col(cell: Column, k: int, res: int) -> Column:
     """Array column of the (≤(2k+1)^2) neighbor cells of ``cell`` — built
     from native sequence/transform exprs so kNN ring expansion needs no UDF.

@@ -366,6 +366,80 @@ def shortest_paths_khop(
     return dist
 
 
+def shortest_paths(
+    edges: DataFrame,
+    source_vertex_id: int,
+    fwd_cost: str = "cost_seconds_forward",
+    rev_cost: str = "cost_seconds_reverse",
+    max_rounds: int = 10_000,
+) -> DataFrame:
+    """Single-source shortest paths run to CONVERGENCE — the exact analog of
+    the reference's pgr_dijkstra (/root/reference/db/deploy/
+    routing_functions.sql:571-581), which relaxes until no distance improves.
+
+    Same per-round DP as :func:`shortest_paths_khop`, but the loop stops when
+    a round changes nothing: after each round the checkpointed frontier is
+    compared to the previous one (exact struct equality is safe — the DP is
+    deterministic, so a converged vertex reproduces bit-identical doubles)
+    and the count of new-or-improved vertices gates the next round. With
+    non-negative weights Bellman-Ford converges within |V|-1 rounds, so the
+    ``max_rounds`` cap is a runaway guard, not a semantic bound. One shuffle
+    plus one count action per round; each round localCheckpoints to truncate
+    the iterative lineage."""
+    arcs = (
+        edges.select(
+            F.col("source_vertex").alias("src"),
+            F.col("target_vertex").alias("dst"),
+            F.col(fwd_cost).alias("w"),
+        )
+        .filter(F.col("w") >= 0)
+        .unionByName(
+            edges.select(
+                F.col("target_vertex").alias("src"),
+                F.col("source_vertex").alias("dst"),
+                F.col(rev_cost).alias("w"),
+            ).filter(F.col("w") >= 0)
+        )
+        .persist()
+    )
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(int(source_vertex_id), 0.0, 0)], schema="vertex_id long, dist double, hops int"
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        cand = dist.join(arcs, dist["vertex_id"] == arcs["src"]).select(
+            arcs["dst"].alias("vertex_id"),
+            (dist["dist"] + arcs["w"]).alias("dist"),
+            (dist["hops"] + F.lit(1)).alias("hops"),
+        )
+        new = (
+            dist.unionByName(cand)
+            .groupBy("vertex_id")
+            .agg(F.min(F.struct("dist", "hops")).alias("__s"))
+            .select(
+                "vertex_id",
+                F.col("__s.dist").alias("dist"),
+                F.col("__s.hops").alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = (
+            new.select("vertex_id", F.struct("dist", "hops").alias("ns"))
+            .join(
+                dist.select("vertex_id", F.struct("dist", "hops").alias("os")),
+                "vertex_id",
+                "left",
+            )
+            .filter(F.col("os").isNull() | (F.col("ns") != F.col("os")))
+            .count()
+        )
+        dist = new
+        if n_changed == 0:
+            break
+    arcs.unpersist(blocking=False)
+    return dist
+
+
 def build_routing_network(
     roads: DataFrame,
     lookup: DataFrame | None = None,

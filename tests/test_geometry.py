@@ -211,3 +211,25 @@ def test_polygon_within_concave_and_holes():
     ]))
     assert not kernels.polygon_within(rect(0.45, 0.45, 0.55, 0.55), donut)
     assert kernels.polygon_within(rect(0.1, 0.1, 0.3, 0.3), donut)
+
+
+def test_polygon_within_boundary_chord_through_notch():
+    import numpy as np
+    from pgosm_flex_spark.geometry import kernels, wkb
+
+    def tri(a, b, c):
+        return wkb.decode(wkb.encode_polygon(
+            [np.array([a, b, c, a], dtype=float)]
+        ))
+
+    # L-shape: unit square minus NE quadrant [0.5,1]x[0.5,1]
+    L = wkb.decode(wkb.encode_polygon([np.array(
+        [[0, 0], [1, 0], [1, 0.5], [0.5, 0.5], [0.5, 1], [0, 1], [0, 0]], dtype=float
+    )]))
+    # every vertex ON the boundary, but the (0.5,1)->(1,0.5) chord runs
+    # through the removed notch: no proper crossing (only endpoint touches),
+    # so only the edge-midpoint test can reject it
+    assert not kernels.polygon_within(tri([0.5, 1], [1, 0.5], [0.5, 0.5]), L)
+    # positive control: an edge lying ALONG the boundary (midpoint on it)
+    # plus interior edges is still within
+    assert kernels.polygon_within(tri([0.5, 0.5], [0.5, 1], [0, 0.5]), L)

@@ -234,3 +234,46 @@ def test_shortest_paths_khop_grid(spark, grid_roads):
     assert set(got) == set(best)
     for vid, d in best.items():
         assert abs(got[vid] - d) < 1e-9, vid
+
+
+def test_shortest_paths_convergence_matches_dijkstra(spark, grid_roads):
+    # unbounded variant (pgr_dijkstra analog): iterates until a round changes
+    # no distance, so results must equal both the numpy Dijkstra oracle and
+    # the bounded DP with k >= diameter
+    import heapq
+
+    edges, vertices = routing.build_routing_network(grid_roads)
+    v = vertices.toPandas()
+    src = int(v.sort_values(["lon", "lat"]).iloc[0]["vertex_id"])
+    conv = routing.shortest_paths(edges, src).toPandas()
+    bounded = routing.shortest_paths_khop(edges, src, k_hops=12).toPandas()
+
+    e = edges.toPandas()
+    adj = {}
+    for r in e.itertuples(index=False):
+        if r.cost_seconds_forward >= 0:
+            adj.setdefault(r.source_vertex, []).append(
+                (r.target_vertex, r.cost_seconds_forward)
+            )
+        if r.cost_seconds_reverse >= 0:
+            adj.setdefault(r.target_vertex, []).append(
+                (r.source_vertex, r.cost_seconds_reverse)
+            )
+    best = {src: 0.0}
+    heap = [(0.0, src)]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > best.get(u, float("inf")):
+            continue
+        for nxt, w in adj.get(u, []):
+            nd = d + w
+            if nd < best.get(nxt, float("inf")):
+                best[nxt] = nd
+                heapq.heappush(heap, (nd, nxt))
+
+    got = {int(r.vertex_id): r.dist for r in conv.itertuples(index=False)}
+    assert set(got) == set(best)
+    for vid, d in best.items():
+        assert abs(got[vid] - d) < 1e-9, vid
+    kb = {int(r.vertex_id): r.dist for r in bounded.itertuples(index=False)}
+    assert got == kb
