@@ -103,6 +103,7 @@ def edge_intersection_blades(
     layer_col: str | None = "layer",
     res: int = DEFAULT_RES,
     fallback_res: int = FALLBACK_RES,
+    broadcast_oversized: bool = True,
 ) -> DataFrame:
     """(edge_id, blade_x, blade_y) — exact crossing points between distinct
     edges sharing a cell (+ same layer, sql:129-137). Both edges of a pair
@@ -112,8 +113,17 @@ def edge_intersection_blades(
     ``res`` (a merged cross-country way) is covered at ``fallback_res``
     instead of crashing; every normal line ALSO emits its (few) ancestor
     cells at ``fallback_res`` flagged non-primary, so oversized×normal pairs
-    still meet. Pairs where both rows are non-primary are skipped (two
-    normal lines already met at ``res`` if they can intersect at all)."""
+    still meet. The pair generation runs as TWO linear joins, never one
+    combined self-join: primary×primary on the covering cells (normal pairs
+    meet at ``res``, oversized pairs at ``fallback_res`` — cell ids encode
+    their resolution, so the levels cannot cross-match), plus
+    oversized-primary×ancestor for the mixed pairs. A combined self-join
+    would enumerate ALL pairs of normal lines sharing a coarse ancestor cell
+    (a metro's entire road set in one res-6 cell) before any primary filter
+    could prune them — O(N²) per coarse cell at scale. The oversized side is
+    broadcast when ``broadcast_oversized`` (default): oversized lines are by
+    construction the rare cell-budget overflows; pass False to fall back to
+    a shuffle join on cell if that assumption ever breaks."""
     covschema = f"{id_col} long, cell long, is_primary boolean, geom_wkb binary" + (
         f", {layer_col} int" if layer_col else ""
     )
@@ -152,23 +162,32 @@ def edge_intersection_blades(
     sel = [id_col, "geom_wkb"] + ([layer_col] if layer_col else [])
     covered = lines.select(*sel).mapInPandas(cov, schema=covschema)
 
-    a = covered.select(
-        F.col(id_col).alias("id_a"), F.col("cell"),
-        F.col("is_primary").alias("primary_a"),
-        F.col("geom_wkb").alias("wkb_a"),
-        *( [F.col(layer_col).alias("layer_a")] if layer_col else [] ),
-    )
-    b = covered.select(
-        F.col(id_col).alias("id_b"), F.col("cell"),
-        F.col("is_primary").alias("primary_b"),
-        F.col("geom_wkb").alias("wkb_b"),
-        *( [F.col(layer_col).alias("layer_b")] if layer_col else [] ),
-    )
-    pairs = (
-        a.join(b, "cell")
+    def side(df: DataFrame, suffix: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"id_{suffix}"), F.col("cell"),
+            F.col("geom_wkb").alias(f"wkb_{suffix}"),
+            *( [F.col(layer_col).alias(f"layer_{suffix}")] if layer_col else [] ),
+        )
+
+    prim = covered.filter(F.col("is_primary"))
+    # oversized lines are primary at the fallback level; the cell id's top
+    # bits carry its resolution
+    oversized = prim.filter(cells.cell_res_col(F.col("cell")) == fallback_res)
+    ancestors = covered.filter(~F.col("is_primary"))
+
+    # same-level pairs: normal×normal at res, oversized×oversized at
+    # fallback_res (cell ids of different levels never compare equal)
+    pairs_same = (
+        side(prim, "a").join(side(prim, "b"), "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.col("primary_a") | F.col("primary_b"))
     )
+    # mixed pairs: the tiny oversized set against normal lines' 1-2 ancestor
+    # rows — linear in the line count
+    over_a = side(oversized, "a")
+    if broadcast_oversized:
+        over_a = F.broadcast(over_a)
+    pairs_mixed = over_a.join(side(ancestors, "b"), "cell")
+    pairs = pairs_same.unionByName(pairs_mixed)
     if layer_col:
         pairs = pairs.filter(
             F.coalesce(F.col("layer_a"), F.lit(0)) == F.coalesce(F.col("layer_b"), F.lit(0))

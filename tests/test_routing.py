@@ -183,6 +183,25 @@ def test_oversized_line_falls_back_to_coarse_cover(spark):
     assert vertices.filter(F.col("degree") == 4).count() == 1
 
 
+def test_two_oversized_lines_cross_at_fallback(spark):
+    # both ways overflow the res-12 budget: they are primary at the fallback
+    # level and must meet in the primary-primary join (the mixed
+    # oversized-x-ancestor join only covers oversized-x-normal pairs)
+    a = line([[-100.0, 40.0], [-70.0, 40.0]])
+    b = line([[-85.0, 30.0], [-85.0, 50.0]])
+    roads = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, a, 0, 0, None, "primary"), (2, b, 0, 0, None, "primary")],
+            columns=["osm_id", "geom_wkb", "layer", "oneway", "maxspeed", "osm_type"],
+        )
+    )
+    edges, vertices = routing.build_routing_network(roads)
+    e = edges.toPandas()
+    assert len(e[e.osm_id == 1]) == 2
+    assert len(e[e.osm_id == 2]) == 2
+    assert vertices.filter(F.col("degree") == 4).count() == 1
+
+
 def test_oneway_attrs_not_broadcast_joined(spark, grid_roads):
     # plan audit: the only EXPLICIT broadcast hint in the edge plan is the
     # 25-row pgosm.road lookup (AQE may still pick broadcast strategies for
