@@ -36,7 +36,7 @@ def main() -> int:
     p.add_argument("--region", default="synthetic-dc")
     p.add_argument("--out", required=True)
     p.add_argument("--date", default="1970-01-01")
-    p.add_argument("--mode", default="create", choices=["create", "append"])
+    p.add_argument("--mode", default="create", choices=["create", "append", "stream"])
     p.add_argument(
         "--diff",
         help="(append mode) parquet of new/changed image rows; only the "
@@ -60,6 +60,30 @@ def main() -> int:
 
     spark = get_spark("pgosm-flex-spark-import", cores=args.cpus)
     t0 = time.time()
+
+    # streaming mode: drain the input dir through the stateful-dedup →
+    # layer-mapping → MERGE pipeline; the stream checkpoint (not the batch
+    # journal) carries resume state, so the ImportMode guard does not apply
+    if args.mode == "stream":
+        if not args.input:
+            print("--mode stream requires --input (a stream directory)", file=sys.stderr)
+            return 2
+        from pgosm_flex_spark.streaming.import_stream import run_stream_import
+
+        target = run_stream_import(
+            spark,
+            args.input,
+            os.path.join(args.out, "_stream_checkpoint"),
+            args.out,
+            layerset=args.layerset,
+            unit_res=args.unit_res,
+        )
+        n = spark.read.parquet(target).count()
+        print(json.dumps({
+            "status": "Completed", "mode": "stream", "rows": n,
+            "wall_seconds": round(time.time() - t0, 1),
+        }))
+        return 0
 
     mode = ImportMode(update=args.mode if args.mode == "append" else None, force=args.force)
     prior_path = os.path.join(args.out, "manifest.json")
@@ -88,6 +112,7 @@ def main() -> int:
     # dirs overwrite idempotently; every other unit's files stay, the
     # reference's per-region invalidation instead of row patching)
     touched_units = None
+    expected_units = None
     if args.mode == "append" and args.diff:
         from pgosm_flex_spark.index import cells
         from pgosm_flex_spark.streaming.incremental import affected_cells
@@ -96,7 +121,11 @@ def main() -> int:
             F.col("lon").isNotNull()
         )
         touched = affected_cells(diff_pts, res=args.unit_res)
-        touched_units = touched.count()
+        # every touched cell must recompute even if it ends up with ZERO
+        # points (the diff removed/moved its last rows) — otherwise its
+        # stale unit dir survives and stored pairs diverge from a full run
+        expected_units = [str(r["cell"]) for r in touched.collect()]
+        touched_units = len(expected_units)
         pts_cell = pts.withColumn(
             "__unit", cells.cell_col(F.col("lon"), F.col("lat"), args.unit_res)
         )
@@ -133,6 +162,7 @@ def main() -> int:
             job_id=f"{args.region}-{args.date}",
             point_cols=["image_id"],
             unit_res=args.unit_res,
+            expected_units=expected_units,
         )
 
     # 6. export bundle
@@ -147,6 +177,8 @@ def main() -> int:
     if touched_units is not None:
         manifest["pip_units"]["append_touched_cells"] = touched_units
     manifest["wall_seconds"] = round(time.time() - t0, 1)
+    # library-mode hygiene: nothing stays pinned in executor memory at exit
+    osm.unpersist(blocking=False)
     with open(prior_path, "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     print(json.dumps({"status": "Completed", **manifest["pip_units"],

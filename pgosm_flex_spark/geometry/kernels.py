@@ -150,28 +150,39 @@ def points_on_boundary(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray],
     return out
 
 
-def segment_proper_crossings(
-    a0: np.ndarray, a1: np.ndarray, b0: np.ndarray, b1: np.ndarray
-) -> bool:
-    """True iff any segment of A properly CROSSES a segment of B — the
-    intersection point is strictly interior to both segments. Endpoint
-    touches and collinear overlaps are NOT crossings (boundary contact is
-    allowed by ST_Within)."""
-    da = a1 - a0
-    db = b1 - b0
-    denom = da[:, None, 0] * db[None, :, 1] - da[:, None, 1] * db[None, :, 0]
-    diff = b0[None, :, :] - a0[:, None, :]
-    with np.errstate(divide="ignore", invalid="ignore"):
-        t = (diff[:, :, 0] * db[None, :, 1] - diff[:, :, 1] * db[None, :, 0]) / denom
-        u = (diff[:, :, 0] * da[:, None, 1] - diff[:, :, 1] * da[:, None, 0]) / denom
+def _proper_crossing_mask(
+    a0: np.ndarray, a1: np.ndarray, b0: np.ndarray, b1: np.ndarray,
+    chunk: int = 4096,
+) -> np.ndarray:
+    """bool (len(a0),): per A-segment, does it properly CROSS any B segment —
+    intersection strictly interior to both. Endpoint touches and collinear
+    overlaps are NOT crossings (boundary contact is allowed by ST_Within).
+    Chunked over A to bound the pairwise matrix at chunk×len(b0)."""
     eps = 1e-12
-    return bool(
-        (
+    db = b1 - b0
+    out = np.zeros(a0.shape[0], dtype=bool)
+    for s in range(0, a0.shape[0], chunk):
+        ca0 = a0[s:s + chunk]
+        ca1 = a1[s:s + chunk]
+        da = ca1 - ca0
+        denom = da[:, None, 0] * db[None, :, 1] - da[:, None, 1] * db[None, :, 0]
+        diff = b0[None, :, :] - ca0[:, None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (diff[:, :, 0] * db[None, :, 1] - diff[:, :, 1] * db[None, :, 0]) / denom
+            u = (diff[:, :, 0] * da[:, None, 1] - diff[:, :, 1] * da[:, None, 0]) / denom
+        out[s:s + chunk] = (
             (np.abs(denom) > eps)
             & (t > eps) & (t < 1 - eps)
             & (u > eps) & (u < 1 - eps)
-        ).any()
-    )
+        ).any(axis=1)
+    return out
+
+
+def segment_proper_crossings(
+    a0: np.ndarray, a1: np.ndarray, b0: np.ndarray, b1: np.ndarray
+) -> bool:
+    """True iff any segment of A properly CROSSES a segment of B."""
+    return bool(_proper_crossing_mask(a0, a1, b0, b1).any())
 
 
 def polygon_within(child: wkb_mod.Geom, container: wkb_mod.Geom) -> bool:
@@ -189,27 +200,66 @@ def polygon_within(child: wkb_mod.Geom, container: wkb_mod.Geom) -> bool:
     tangencies (an edge crossing exactly through a container vertex, a child
     exactly filling a hole) are undefined at float precision — documented
     divergence (SURVEY §7.3)."""
-    verts = np.concatenate(child.rings, axis=0)
+    return bool(polygons_within_container([child], container)[0])
+
+
+def polygons_within_container(
+    children: list[wkb_mod.Geom], container: wkb_mod.Geom
+) -> np.ndarray:
+    """Vectorized ST_Within of MANY child polygons against ONE container —
+    the batch form of :func:`polygon_within` (identical semantics; that
+    function delegates here). All children's vertices / edge-crossing masks /
+    midpoints run through single numpy calls segmented per child with
+    ``reduceat``, so a container with hundreds of candidate children costs a
+    handful of array ops instead of a Python loop of pair tests."""
+    n = len(children)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    ok = np.ones(n, dtype=bool)
+
+    vert_counts = np.array(
+        [sum(r.shape[0] for r in c.rings) for c in children], dtype=np.int64
+    )
+    voff = np.concatenate([[0], np.cumsum(vert_counts)])[:-1]
+    verts = np.concatenate(
+        [np.concatenate(c.rings, axis=0) for c in children], axis=0
+    )
     inside = points_in_rings(verts[:, 0], verts[:, 1], container.rings)
-    boundary_touch = False
+    boundary_touch = np.zeros(n, dtype=bool)
     if not inside.all():
-        on_b = points_on_boundary(verts[:, 0], verts[:, 1], container.rings)
-        if not (inside | on_b).all():
-            return False
-        boundary_touch = True
-    c0 = np.concatenate([r[:-1] for r in child.rings], axis=0)
-    c1 = np.concatenate([r[1:] for r in child.rings], axis=0)
-    if boundary_touch:
-        mx = (c0[:, 0] + c1[:, 0]) / 2.0
-        my = (c0[:, 1] + c1[:, 1]) / 2.0
-        m_in = points_in_rings(mx, my, container.rings)
-        if not m_in.all():
-            m_on = points_on_boundary(mx[~m_in], my[~m_in], container.rings)
-            if not m_on.all():
-                return False
+        miss = ~inside
+        on_b = np.zeros(verts.shape[0], dtype=bool)
+        on_b[miss] = points_on_boundary(
+            verts[miss, 0], verts[miss, 1], container.rings
+        )
+        ok &= np.logical_and.reduceat(inside | on_b, voff)
+        boundary_touch = np.logical_or.reduceat(on_b & miss, voff) & ok
+
+    seg_counts = np.array(
+        [sum(r.shape[0] - 1 for r in c.rings) for c in children], dtype=np.int64
+    )
+    soff = np.concatenate([[0], np.cumsum(seg_counts)])[:-1]
+    c0 = np.concatenate(
+        [np.concatenate([r[:-1] for r in c.rings], axis=0) for c in children], axis=0
+    )
+    c1 = np.concatenate(
+        [np.concatenate([r[1:] for r in c.rings], axis=0) for c in children], axis=0
+    )
     g0 = np.concatenate([r[:-1] for r in container.rings], axis=0)
     g1 = np.concatenate([r[1:] for r in container.rings], axis=0)
-    return not segment_proper_crossings(c0, c1, g0, g1)
+    ok &= ~np.logical_or.reduceat(_proper_crossing_mask(c0, c1, g0, g1), soff)
+
+    if boundary_touch.any():
+        seg_mask = np.repeat(boundary_touch, seg_counts)
+        mx = (c0[seg_mask, 0] + c1[seg_mask, 0]) / 2.0
+        my = (c0[seg_mask, 1] + c1[seg_mask, 1]) / 2.0
+        m_in = points_in_rings(mx, my, container.rings)
+        m_ok = m_in.copy()
+        if not m_in.all():
+            m_ok[~m_in] = points_on_boundary(mx[~m_in], my[~m_in], container.rings)
+        t_off = np.concatenate([[0], np.cumsum(seg_counts[boundary_touch])])[:-1]
+        ok[boundary_touch] &= np.logical_and.reduceat(m_ok, t_off)
+    return ok
 
 
 # ---------------------------------------------------------------------------

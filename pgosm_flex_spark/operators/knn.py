@@ -123,6 +123,8 @@ def knn_join_adaptive(
     f_lon: str = "lon",
     f_lat: str = "lat",
     search_offset: int = 2,
+    broadcast_features: bool = True,
+    salt: int = 8,
 ) -> DataFrame:
     """Exact kNN with a per-point cell resolution picked from the local
     feature density — the skew answer for dense urban cells (SURVEY.md §7.3):
@@ -160,6 +162,18 @@ def knn_join_adaptive(
     sparse ones (coarser steps trade fewer broadcast joins for a 4×/step
     candidate multiplier; sub-finest-cell feature clusters are the one
     escape, bounded by co-located ties).
+
+    ``broadcast_features=False`` is the scale fallback for feature sides too
+    large to broadcast (the reference's GiST ``<->`` has no such limit):
+    the ring-density map builds DISTRIBUTIVELY (features explode their 9
+    ring cells per level, one groupBy — never collected to the driver), the
+    level pick becomes one exploded-ancestor equi-join against that map plus
+    a per-point aggregate, and the candidate join salts the feature buckets
+    ``salt`` ways with each probe picking a bucket by point-id hash (the
+    pip_join skew pattern). Top-k then uses a window — the streaming top-k's
+    contiguity contract does not survive a shuffle join. Identical results
+    to the broadcast path: the distributed density map counts exactly the
+    same votes the driver numpy map does.
     """
     levels = sorted(set(res_levels), reverse=True)  # finest first
     feats = features.select(
@@ -168,63 +182,150 @@ def knn_join_adaptive(
         F.col(f_lat).alias("__flat"),
     )
 
-    # 1. ring-density map across all levels: features come to the driver
-    # (broadcastable by assumption — the same assumption every broadcast join
-    # here makes) and the map is pure numpy: each feature votes +1 into the
-    # ring-count of its cell's 9 neighbors at every level. Catalyst
-    # higher-order exprs for the same job measured 1 ms/row — 2000× slower.
     spark = points.sparkSession
-    fp = feats.select("__flon", "__flat").toPandas()
-    flon_a = fp["__flon"].to_numpy(dtype=np.float64)
-    flat_a = fp["__flat"].to_numpy(dtype=np.float64)
-    ring_cells = []
-    for r in levels:
-        x, y = cells.xy_of_points(flon_a, flat_a, r)
-        n = 1 << r
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                ny = y + dy
-                keep = (ny >= 0) & (ny < n)
-                ring_cells.append(cells.pack((x[keep] + dx) % n, ny[keep], r))
-    all_cells, counts = np.unique(np.concatenate(ring_cells), return_counts=True)
-    density_bc = spark.sparkContext.broadcast((all_cells, counts.astype(np.int64)))
-
-    # 2. per-point level pick: ONE vectorized pandas UDF (numpy searchsorted
-    # over the sorted density map — 13 lookups/point, no joins, no shuffle).
-    # Emits s = r*−offset and the kth-distance bound: with ≥k features in the
-    # 3×3 ring at r*, the true k-th neighbor is within √8·c(r*) (grid
-    # distance); metric bound adds a 1.25 safety factor over ground cell
-    # width. Points whose coarsest ring holds <k get an infinite bound
-    # (accept-all semantics).
     lv = list(levels)
     koff = search_offset
+    bound_factor = 2.8284271247461903 * 1.25
 
-    @F.pandas_udf("struct<s:int, bound:double>")
-    def _pick_level(plon: "pd.Series", plat: "pd.Series") -> "pd.DataFrame":
-        sorted_cells, cnts = density_bc.value
-        lon_a = plon.to_numpy(dtype=np.float64)
-        lat_a = plat.to_numpy(dtype=np.float64)
-        r_star = np.full(lon_a.shape[0], lv[-1], dtype=np.int64)
-        has_bound = np.zeros(lon_a.shape[0], dtype=bool)
-        for r in lv[::-1]:  # coarsest → finest so the finest hit wins
-            cell_r = cells.cells_of_points(lon_a, lat_a, r)
-            idx = np.searchsorted(sorted_cells, cell_r)
-            idx_c = np.minimum(idx, len(sorted_cells) - 1)
-            cnt = np.where(sorted_cells[idx_c] == cell_r, cnts[idx_c], 0)
-            ok = cnt >= k
-            r_star = np.where(ok, r, r_star)
-            has_bound |= ok
-        cell_m = 40_075_016.7 * np.cos(np.radians(lat_a)) / (2.0 ** r_star)
-        bound = np.where(has_bound, 2.8284271247461903 * 1.25 * cell_m, np.inf)
-        s = np.maximum(r_star - koff, 1).astype(np.int32)
-        return pd.DataFrame({"s": s, "bound": bound})
+    if broadcast_features:
+        # 1. ring-density map across all levels: features come to the driver
+        # (broadcastable by assumption — the same assumption every broadcast
+        # join here makes) and the map is pure numpy: each feature votes +1
+        # into the ring-count of its cell's 9 neighbors at every level.
+        # Catalyst higher-order exprs for the same job measured 1 ms/row —
+        # 2000× slower.
+        fp = feats.select("__flon", "__flat").toPandas()
+        flon_a = fp["__flon"].to_numpy(dtype=np.float64)
+        flat_a = fp["__flat"].to_numpy(dtype=np.float64)
+        ring_cells = []
+        for r in levels:
+            x, y = cells.xy_of_points(flon_a, flat_a, r)
+            n = 1 << r
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    ny = y + dy
+                    keep = (ny >= 0) & (ny < n)
+                    ring_cells.append(cells.pack((x[keep] + dx) % n, ny[keep], r))
+        all_cells, counts = np.unique(np.concatenate(ring_cells), return_counts=True)
+        density_bc = spark.sparkContext.broadcast((all_cells, counts.astype(np.int64)))
 
-    pts = points.select(
-        F.col(point_id).alias("__pid"),
-        F.col(lon).alias("__plon"),
-        F.col(lat).alias("__plat"),
-        _pick_level(F.col(lon), F.col(lat)).alias("__pick"),
-    )
+        # 2. per-point level pick: ONE vectorized pandas UDF (numpy
+        # searchsorted over the sorted density map — 13 lookups/point, no
+        # joins, no shuffle). Emits s = r*−offset and the kth-distance bound:
+        # with ≥k features in the 3×3 ring at r*, the true k-th neighbor is
+        # within √8·c(r*) (grid distance); metric bound adds a 1.25 safety
+        # factor over ground cell width. Points whose coarsest ring holds <k
+        # get an infinite bound (accept-all semantics).
+        @F.pandas_udf("struct<s:int, bound:double>")
+        def _pick_level(plon: "pd.Series", plat: "pd.Series") -> "pd.DataFrame":
+            sorted_cells, cnts = density_bc.value
+            lon_a = plon.to_numpy(dtype=np.float64)
+            lat_a = plat.to_numpy(dtype=np.float64)
+            r_star = np.full(lon_a.shape[0], lv[-1], dtype=np.int64)
+            has_bound = np.zeros(lon_a.shape[0], dtype=bool)
+            for r in lv[::-1]:  # coarsest → finest so the finest hit wins
+                cell_r = cells.cells_of_points(lon_a, lat_a, r)
+                idx = np.searchsorted(sorted_cells, cell_r)
+                idx_c = np.minimum(idx, len(sorted_cells) - 1)
+                cnt = np.where(sorted_cells[idx_c] == cell_r, cnts[idx_c], 0)
+                ok = cnt >= k
+                r_star = np.where(ok, r, r_star)
+                has_bound |= ok
+            cell_m = 40_075_016.7 * np.cos(np.radians(lat_a)) / (2.0 ** r_star)
+            bound = np.where(has_bound, bound_factor * cell_m, np.inf)
+            s = np.maximum(r_star - koff, 1).astype(np.int32)
+            return pd.DataFrame({"s": s, "bound": bound})
+
+        pts = points.select(
+            F.col(point_id).alias("__pid"),
+            F.col(lon).alias("__plon"),
+            F.col(lat).alias("__plat"),
+            _pick_level(F.col(lon), F.col(lat)).alias("__pick"),
+        )
+    else:
+        # 1'. the SAME ring-density map, built distributively: each feature
+        # explodes its 9 ring cells per level, one groupBy — the feature
+        # side never reaches the driver. Neighbors are spelled as NINE plain
+        # column expressions (x-wrap via pmod, y clip via when→NULL→filter),
+        # NOT higher-order array exprs: transform/filter lambdas run
+        # interpreted at ~1 ms/row, plain arithmetic stays in codegen
+        ring_union = None
+        for r in levels:
+            fc = cells.cell_col(F.col("__flon"), F.col("__flat"), r)
+            x = cells.cell_x_col(fc)
+            y = cells.cell_y_col(fc)
+            n_r = F.lit(1 << r).cast("long")
+            neigh = []
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    ny = y + F.lit(dy)
+                    cell_expr = (
+                        F.lit(r).cast("long") * F.lit(1 << 58).cast("long")
+                        + F.pmod(x + F.lit(dx), n_r).cast("long")
+                        * F.lit(1 << 29).cast("long")
+                        + ny.cast("long")
+                    )
+                    neigh.append(F.when((ny >= 0) & (ny < n_r), cell_expr))
+            rc = (
+                feats.select(F.explode(F.array(*neigh)).alias("__rcell"))
+                .filter(F.col("__rcell").isNotNull())
+            )
+            ring_union = rc if ring_union is None else ring_union.unionByName(rc)
+        density = ring_union.groupBy("__rcell").agg(F.count(F.lit(1)).alias("__cnt"))
+        density = density.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+
+        # 2'. level pick via one exploded-ancestor equi-join against the map
+        # (salted: many points share a coarse cell, the density side is
+        # unique per cell, so probes spread over salt replicas) + a per-point
+        # aggregate picking the finest level whose ring holds ≥ k
+        probes = points.select(
+            F.col(point_id).alias("__pid"),
+            F.col(lon).alias("__plon"),
+            F.col(lat).alias("__plat"),
+        ).select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("lvl"),
+                            cells.cell_col(F.col("__plon"), F.col("__plat"), r).alias("c"),
+                        )
+                        for r in levels
+                    ]
+                )
+            ).alias("__lc"),
+        ).select(
+            "__pid", "__plon", "__plat",
+            F.col("__lc.lvl").alias("__lvl"),
+            F.col("__lc.c").alias("__pcell"),
+            F.pmod(F.xxhash64(F.col("__pid")), F.lit(salt)).cast("int").alias("__salt"),
+        )
+        joined = probes.join(
+            density,
+            (probes["__pcell"] == density["__rcell"])
+            & (probes["__salt"] == density["__salt"]),
+            "left",
+        )
+        picked = joined.groupBy("__pid", "__plon", "__plat").agg(
+            F.max(F.when(F.col("__cnt") >= k, F.col("__lvl"))).alias("__rstar")
+        )
+        r_star = F.coalesce(F.col("__rstar"), F.lit(lv[-1]))
+        cell_m = (
+            F.lit(40_075_016.7)
+            * F.cos(F.radians(F.col("__plat")))
+            / F.pow(F.lit(2.0), r_star.cast("double"))
+        )
+        bound = F.when(
+            F.col("__rstar").isNotNull(), F.lit(bound_factor) * cell_m
+        ).otherwise(F.lit(float("inf")))
+        s_expr = F.greatest(r_star - F.lit(koff), F.lit(1)).cast("int")
+        pts = picked.select(
+            "__pid", "__plon", "__plat",
+            F.struct(s_expr.alias("s"), bound.alias("bound")).alias("__pick"),
+        )
 
     # 3. ring explode at s with plain column arithmetic (no per-row array
     # building), then ONE broadcast equi-join against feature buckets at
@@ -283,7 +384,22 @@ def knn_join_adaptive(
             )
         ),
     )
-    cand = ringed.join(F.broadcast(fbuckets), "__cell")
+    if broadcast_features:
+        cand = ringed.join(F.broadcast(fbuckets), "__cell")
+    else:
+        # salted shuffle join (pip_join pattern): every feature bucket row
+        # replicates to all salt buckets, each probe picks one by pid hash —
+        # a hot cell's probes spread over salt reducers
+        fb = fbuckets.withColumn(
+            "__fsalt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        rg = ringed.withColumn(
+            "__psalt", F.pmod(F.xxhash64(F.col("__pid")), F.lit(salt)).cast("int")
+        )
+        cand = rg.join(
+            fb,
+            (rg["__cell"] == fb["__cell"]) & (rg["__psalt"] == fb["__fsalt"]),
+        )
     cand = (
         cand.withColumn(
             "__dist",
@@ -296,7 +412,17 @@ def knn_join_adaptive(
         .filter(F.col("__dist") <= F.col("__bound"))
         .select("__pid", "__fid", "__dist")
     )
-    topk = topk_per_point(cand, "__pid", "__dist", "__fid", k)
+    if broadcast_features:
+        topk = topk_per_point(cand, "__pid", "__dist", "__fid", k)
+    else:
+        # the streaming top-k's contiguity contract does not survive a
+        # shuffle join — rank with a window instead (one more shuffle)
+        w = Window.partitionBy("__pid").orderBy(
+            F.col("__dist").asc(), F.col("__fid").asc()
+        )
+        topk = cand.withColumn("knn_rank", F.row_number().over(w)).filter(
+            F.col("knn_rank") <= k
+        )
     return topk.select(
         F.col("__pid").alias(point_id),
         F.col("__fid").alias(feature_id),

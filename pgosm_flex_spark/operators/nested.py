@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -45,12 +46,18 @@ def build_nested_admin_polygons(
     place_polygon: DataFrame,
     id_col: str = "osm_id",
     fine_res: int = 15,
+    broadcast_containers: bool = True,
 ) -> DataFrame:
     """place_polygon → one row per participating polygon with path columns.
 
     Output: osm_id, name, osm_type, admin_level (coalesced to 99),
     nest_level, name_path, osm_id_path, admin_level_path, row_innermost,
     innermost.
+
+    ``broadcast_containers`` hints the container-attribute join (admin
+    hierarchies are small in practice); pass False when a continental
+    place_polygon set would overflow the broadcast limit — the join then
+    shuffles both sides on container_id instead.
     """
     participates = (
         (F.col("boundary") == "administrative")
@@ -95,7 +102,9 @@ def build_nested_admin_polygons(
         F.col("__b").alias("container_bbox"),
         F.col("geom_wkb").alias("container_wkb"),
     )
-    prefiltered = pairs.join(F.broadcast(containers), "container_id").filter(
+    if broadcast_containers:
+        containers = F.broadcast(containers)
+    prefiltered = pairs.join(containers, "container_id").filter(
         (F.col("child_bbox.xmin") >= F.col("container_bbox.xmin"))
         & (F.col("child_bbox.ymin") >= F.col("container_bbox.ymin"))
         & (F.col("child_bbox.xmax") <= F.col("container_bbox.xmax"))
@@ -111,17 +120,38 @@ def build_nested_admin_polygons(
     within_schema = "child_id long, container_id long, c_admin_level int, c_name string"
 
     def exact_within(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # batched by container: each container decodes ONCE per Arrow batch
+        # and its candidate children run through the vectorized batch kernel
+        # (kernels.polygons_within_container); child decodes are memoized
+        # across containers within the batch. No per-pair Python work.
         for b in batches:
-            keep = []
-            for i, row in enumerate(b.itertuples(index=False)):
-                if row.child_id == row.container_id:
-                    keep.append(i)
+            if len(b) == 0:
+                continue
+            child_cache: dict[int, object] = {}
+            keep = np.zeros(len(b), dtype=bool)
+            groups = b.groupby("container_id", sort=False).indices
+            for _cid, idx in groups.items():
+                rows = b.iloc[idx]
+                self_mask = (rows["child_id"] == rows["container_id"]).to_numpy()
+                # self-pairs are within by definition and skip the geometry
+                # test — their vertices lie ON the boundary, which strict
+                # interiority would reject
+                keep[idx[self_mask]] = True
+                todo = idx[~self_mask]
+                if todo.size == 0:
                     continue
-                child = wkb_mod.decode(bytes(row.child_wkb))
-                container = wkb_mod.decode(bytes(row.container_wkb))
-                if kernels.polygon_within(child, container):
-                    keep.append(i)
-            out = b.iloc[keep]
+                container = wkb_mod.decode(bytes(rows["container_wkb"].iloc[0]))
+                kids = []
+                for cid_child, raw in zip(
+                    b["child_id"].to_numpy()[todo], b["child_wkb"].to_numpy()[todo]
+                ):
+                    g = child_cache.get(cid_child)
+                    if g is None:
+                        g = wkb_mod.decode(bytes(raw))
+                        child_cache[cid_child] = g
+                    kids.append(g)
+                keep[todo] = kernels.polygons_within_container(kids, container)
+            out = b.loc[keep]
             yield pd.DataFrame(
                 {
                     "child_id": out["child_id"],

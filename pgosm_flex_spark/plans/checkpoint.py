@@ -159,11 +159,18 @@ def checkpointed_pip_join(
     point_cols: list[str],
     unit_res: int = 4,
     max_parallel: int = 4,
+    expected_units: Iterable[str] | None = None,
     **pip_kwargs,
 ):
     """The flagship join as a resumable job: points are split by coarse cell
     (unit_res), each unit PIP-joins independently and commits
     ``out_dir/unit=<cell>/``, then journals. Resume skips completed cells.
+
+    ``expected_units``: unit cells the caller knows are invalidated even if
+    the (filtered) point set no longer reaches them — an append diff that
+    moves or removes a cell's last points must still overwrite that cell's
+    stale ``unit=<cell>/`` output (with an empty one), or stored pairs
+    diverge from a full recompute.
     """
     from pyspark.sql import functions as F
 
@@ -174,7 +181,9 @@ def checkpointed_pip_join(
     pts = points.withColumn(
         "__unit", cells.cell_col(F.col("lon"), F.col("lat"), unit_res)
     ).persist()
-    units = [str(r["__unit"]) for r in pts.select("__unit").distinct().collect()]
+    units = {str(r["__unit"]) for r in pts.select("__unit").distinct().collect()}
+    if expected_units is not None:
+        units |= set(expected_units)
     cover = build_polygon_cover(polygons).persist()
     cover.count()
     # resolve the cover's resolution levels ONCE — per-unit pip_join calls
@@ -192,7 +201,10 @@ def checkpointed_pip_join(
         )
         target = os.path.join(out_dir, f"unit={unit}")
         pairs.write.mode("overwrite").parquet(target)
-        n = spark.read.parquet(target).count()
+        try:
+            n = spark.read.parquet(target).count()
+        except Exception:  # zero-row unit: no part files to infer from
+            n = 0
         return {"pairs": n}
 
     results = cp.run_units(spark, sorted(units), process, max_parallel=max_parallel)

@@ -153,12 +153,19 @@ def refresh_partitions(
     target_dir: str,
     replacement: DataFrame,
     partition_col: str = "cell_p",
+    expected_partitions: list | None = None,
 ) -> int:
     """Partition-scoped REFRESH: every partition present in ``replacement``
     is replaced wholesale (rows absent from the replacement disappear — the
     semantics of the reference's append-finish derived-artifact rebuild,
     replication_functions.sql:22-38); untouched partitions' files stay.
-    The Iceberg mapping is ``REPLACE WHERE``/dynamic overwrite."""
+    The Iceberg mapping is ``REPLACE WHERE``/dynamic overwrite.
+
+    ``expected_partitions``: partition values the caller knows are
+    invalidated. Dynamic overwrite only replaces partitions PRESENT in the
+    replacement, so an invalidated partition whose replacement is empty
+    would keep its stale files — those directories are deleted explicitly.
+    """
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -169,6 +176,16 @@ def refresh_partitions(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    if expected_partitions:
+        import shutil
+
+        present = {
+            r[0] for r in materialized.select(partition_col).distinct().collect()
+        }
+        for p in set(expected_partitions) - present:
+            d = os.path.join(target_dir, f"{partition_col}={p}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
     return n
 
 

@@ -23,13 +23,20 @@ def stream_first_seen(
     stream: DataFrame,
     key_col: str = "phash",
     id_col: str = "image_id",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """streaming DataFrame → first occurrence per ``key_col``.
 
     Within one micro-batch the smallest ``id_col`` wins (deterministic);
     across batches the state store suppresses keys already emitted.
+    ``carry_cols`` ride along with the winning row (types taken from the
+    input schema) so downstream stages get the full payload, not just the
+    key — the streaming import pipes the caption through this way.
     """
-    out_schema = f"{key_col} long, {id_col} string"
+    carried = ", ".join(
+        f"{c} {stream.schema[c].dataType.simpleString()}" for c in carry_cols
+    )
+    out_schema = f"{key_col} long, {id_col} string" + (f", {carried}" if carried else "")
     state_schema = "seen boolean"
 
     def dedup(
@@ -50,7 +57,10 @@ def stream_first_seen(
         if best is None:
             return
         state.update((True,))
-        yield pd.DataFrame({key_col: [key[0]], id_col: [best[id_col]]})
+        out = {key_col: [key[0]], id_col: [best[id_col]]}
+        for c in carry_cols:
+            out[c] = [best[c]]
+        yield pd.DataFrame(out)
 
     return stream.groupBy(key_col).applyInPandasWithState(
         dedup,

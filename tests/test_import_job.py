@@ -91,3 +91,69 @@ def test_append_with_diff_recomputes_touched_cells_only(spark, job_out, tmp_path
     )
     assert got.exceptAll(exp).count() == 0
     assert exp.exceptAll(got).count() == 0
+
+
+def test_append_diff_empties_cell_invalidates_stale_output(spark, job_out, tmp_path):
+    # a diff that REMOVES a cell's last points must still overwrite that
+    # cell's stale unit dir (with an empty one) — stored pairs must equal a
+    # full recompute of the new input
+    from pgosm_flex_spark.functions import tags as tagf
+    from pgosm_flex_spark.index import cells as cellmod
+
+    all_imgs = fixtures.images_df(spark, 2150, with_pixels=False)
+    tagged = tagf.with_tags(all_imgs).withColumn(
+        "__unit", cellmod.cell_col(F.col("lon"), F.col("lat"), 13)
+    )
+    # pick a unit that currently holds stored pairs
+    victim = None
+    for d in sorted(glob.glob(f"{job_out}/image_place_pairs/unit=*")):
+        try:
+            if spark.read.parquet(d).count() > 0:
+                victim = int(d.rsplit("=", 1)[1])
+                break
+        except Exception:
+            continue
+    assert victim is not None
+    removed_ids = tagged.filter(F.col("__unit") == victim).select("image_id")
+    assert removed_ids.count() > 0
+
+    new_full = str(tmp_path / "full_minus_cell")
+    diff_dir = str(tmp_path / "removed")
+    all_imgs.join(removed_ids, "image_id", "left_anti").write.parquet(new_full)
+    all_imgs.join(removed_ids, "image_id", "semi").write.parquet(diff_dir)
+
+    rc = run_job(
+        ["--out", job_out, "--input", new_full, "--diff", diff_dir,
+         "--mode", "append", "--layerset", "minimal", "--skip-nested",
+         "--unit-res", "13", "--date", "2026-03-01"]
+    )
+    assert rc == 0
+
+    # the victim cell's stale pairs are gone
+    victim_files = glob.glob(f"{job_out}/image_place_pairs/unit={victim}/*.parquet")
+    if victim_files:
+        assert spark.read.parquet(*victim_files).count() == 0
+
+    # stored pairs == full recompute over the reduced input
+    from pgosm_flex_spark.layers import build_layer_tables
+    from pgosm_flex_spark.operators import pip_join, relation_member_dedup
+
+    remaining = all_imgs.join(removed_ids, "image_id", "left_anti")
+    pts = tagf.with_tags(remaining).select("image_id", "lon", "lat")
+    osm = fixtures.osm_objects_df(spark)
+    polys = relation_member_dedup(
+        build_layer_tables(osm, layerset="minimal")["place_polygon"]
+    ).filter(F.col("geom_wkb").isNotNull())
+    exp = pip_join(pts, polys, point_cols=["image_id"]).select("image_id", "osm_id")
+    stored = [
+        f for f in glob.glob(f"{job_out}/image_place_pairs/unit=*/*.parquet")
+    ]
+    got = spark.read.parquet(*stored).select("image_id", "osm_id")
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+
+
+def test_import_job_leaves_no_persisted_rdds(spark, job_out):
+    # library-mode hygiene: after a job run, nothing stays pinned in cache
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0

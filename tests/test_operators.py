@@ -258,3 +258,84 @@ def test_knn_adaptive_point_side_no_shuffle(spark):
     out = knn_join_adaptive(pts, feats, k=3, point_id="image_id", feature_id="osm_id")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan, plan[:2000]
+
+
+def test_polygons_within_container_matches_single(world):
+    # batch kernel == per-pair kernel over every (child, container) pair of
+    # the fixture world (concave shapes included via the nested fixtures)
+    import numpy as np
+
+    polys_pd = world["place_polygon"].select("osm_id", "geom_wkb").toPandas()
+    geoms = {
+        int(r["osm_id"]): wkb.decode(bytes(r["geom_wkb"]))
+        for _, r in polys_pd.iterrows()
+    }
+    ids = sorted(geoms)[:40]  # bound runtime; mix of levels
+    kids = [geoms[i] for i in ids]
+    for cid in sorted(geoms)[:10]:
+        batch = kernels.polygons_within_container(kids, geoms[cid])
+        single = np.array(
+            [kernels.polygon_within(k, geoms[cid]) for k in kids], dtype=bool
+        )
+        assert (batch == single).all(), cid
+
+
+def test_nested_no_broadcast_fallback(world):
+    # broadcast_containers=False must produce the same rows with no explicit
+    # broadcast hint on the container side
+    ref = build_nested_admin_polygons(world["place_polygon"])
+    alt = build_nested_admin_polygons(world["place_polygon"], broadcast_containers=False)
+    # hint audit on the ANALYZED plan (the optimizer folds ResolvedHint into
+    # join nodes, so the optimized plan always counts 0)
+    analyzed = alt._jdf.queryExecution().analyzed().toString()
+    ref_analyzed = ref._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") < ref_analyzed.count("ResolvedHint")
+    a = sorted(map(tuple, ref.select("osm_id", "nest_level", "innermost").collect()))
+    b = sorted(map(tuple, alt.select("osm_id", "nest_level", "innermost").collect()))
+    assert a == b
+
+
+def test_knn_adaptive_nonbroadcast_matches_broadcast(spark):
+    # the scale fallback (distributed density map + salted shuffle join +
+    # window topk) must return exactly the broadcast path's rows, and its
+    # plan must carry no broadcast-join hint
+    import pandas as pd
+    from pgosm_flex_spark.operators.knn import knn_join_adaptive
+
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": [f"p{i}" for i in range(300)],
+                "lon": [fixtures.point_lonlat(i)[0] for i in range(300)],
+                "lat": [fixtures.point_lonlat(i)[1] for i in range(300)],
+            }
+        )
+    )
+    feats = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "osm_id": list(range(400)),
+                "lon": [fixtures.point_lonlat(7000 + i)[0] for i in range(400)],
+                "lat": [fixtures.point_lonlat(7000 + i)[1] for i in range(400)],
+            }
+        )
+    )
+    ref = knn_join_adaptive(pts, feats, k=3, point_id="image_id", feature_id="osm_id")
+    alt = knn_join_adaptive(
+        pts, feats, k=3, point_id="image_id", feature_id="osm_id",
+        broadcast_features=False,
+    )
+    # hint audit on the ANALYZED plan (the optimizer folds hints into joins)
+    analyzed = alt._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    ref_analyzed = ref._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in ref_analyzed  # the broadcast path does hint
+    a = sorted(
+        (r["image_id"], r["knn_rank"], r["osm_id"], round(r["distance_m"], 6))
+        for r in ref.collect()
+    )
+    b = sorted(
+        (r["image_id"], r["knn_rank"], r["osm_id"], round(r["distance_m"], 6))
+        for r in alt.collect()
+    )
+    assert a == b

@@ -210,13 +210,13 @@ def test_oneway_attrs_not_broadcast_joined(spark, grid_roads):
     from pgosm_flex_spark.sources.lookup import pgosm_road
 
     edges, _ = routing.build_routing_network(grid_roads, lookup=pgosm_road(spark))
-    logical = edges._jdf.queryExecution().optimizedPlan().toString()
-    assert logical.count("ResolvedHint") <= 1
+    # hint audit on the ANALYZED plan — the optimizer folds ResolvedHint into
+    # join nodes, so counting on the optimized plan is vacuously 0
+    analyzed = edges._jdf.queryExecution().analyzed().toString()
+    assert 1 <= analyzed.count("ResolvedHint") <= 2  # lookup (+ oversized side)
     edges_nolk, _ = routing.build_routing_network(grid_roads)
-    assert (
-        edges_nolk._jdf.queryExecution().optimizedPlan().toString().count("ResolvedHint")
-        == 0
-    )
+    nolk = edges_nolk._jdf.queryExecution().analyzed().toString()
+    assert nolk.count("ResolvedHint") <= 1  # only the tiny oversized side
 
 
 def test_shortest_paths_khop_grid(spark, grid_roads):

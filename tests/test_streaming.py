@@ -124,3 +124,52 @@ def test_stream_tile_counts_drops_data_behind_watermark(spark, tmp_path):
     starts = {str(r["window_start"]) for r in got.select("window_start").collect()}
     assert not any("09:00" in s for s in starts), starts  # late row dropped
     assert any("11:00" in s for s in starts), starts      # fresh row landed
+
+
+def test_stream_import_two_rounds_with_restart_equals_batch(spark, tmp_path):
+    # --mode stream lifecycle: two availableNow rounds with a query restart
+    # between, dedup state carried by the checkpoint; final MERGE output must
+    # equal the batch pipeline over the deduped union
+    from pgosm_flex_spark.streaming.import_stream import (
+        map_batch_to_layers,
+        run_stream_import,
+    )
+
+    inp = str(tmp_path / "stream_in")
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "stream_ckpt")
+    os.makedirs(inp, exist_ok=True)
+
+    # round 1: images 0..399; round 2: 400..799 PLUS re-sends of 0..49
+    # (same phash, larger ids — streaming first-seen keeps the round-1 rows)
+    imgs = fixtures.images_df(spark, 800, with_pixels=False).cache()
+    r1 = imgs.filter(F.col("image_id") < "img000000000400")
+    dup_keys = imgs.filter(F.col("image_id") < "img000000000050").select(
+        F.concat(F.lit("zz"), "image_id").alias("image_id"),
+        "bytes", "w", "h", "fmt", "caption", "phash",
+    )
+    r2 = imgs.filter(F.col("image_id") >= "img000000000400").select(
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
+    ).unionByName(dup_keys)
+
+    r1.write.mode("append").parquet(inp)
+    target = run_stream_import(spark, inp, ckpt, out, layerset="minimal", unit_res=4)
+    r2.write.mode("append").parquet(inp)
+    # restart: a fresh query object on the same checkpoint
+    run_stream_import(spark, inp, ckpt, out, layerset="minimal", unit_res=4)
+
+    got = spark.read.parquet(target).select(
+        "image_id", "phash", "lon", "lat", F.to_json("layers").alias("layers")
+    )
+    # batch oracle: first-seen (min image_id per phash) over the union, then
+    # the same per-batch mapping
+    union = r1.unionByName(r2)
+    w_min = union.groupBy("phash").agg(F.min("image_id").alias("image_id"))
+    deduped = union.join(w_min, ["phash", "image_id"], "semi")
+    exp = map_batch_to_layers(deduped, layerset="minimal", unit_res=4).select(
+        "image_id", "phash", "lon", "lat", F.to_json("layers").alias("layers")
+    )
+    imgs.unpersist()
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
