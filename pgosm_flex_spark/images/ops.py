@@ -123,24 +123,58 @@ def audio_stats(rows: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            out = []
-            for r in b.itertuples(index=False):
+            n = len(b)
+            # decode is inherently per-row (variable-length payloads) ...
+            pcms: list = [None] * n
+            srs = np.zeros(n, dtype=np.int64)
+            for i, r in enumerate(b.itertuples(index=False)):
                 try:
                     pcm, sr = codec.decode_audio_bytes(bytes(r.bytes))
-                    x = pcm.astype(np.float64)
-                    zc = int(((pcm[:-1].astype(np.int32) ^ pcm[1:].astype(np.int32)) < 0).sum())
-                    out.append(
-                        (r.audio_id, sr, pcm.shape[0], pcm.shape[0] / sr,
-                         float(np.sqrt((x * x).mean())), int(np.abs(pcm).max()),
-                         zc, True)
-                    )
+                    pcms[i] = pcm
+                    srs[i] = sr
                 except Exception:
-                    out.append((r.audio_id, None, None, None, None, None, None, False))
-            yield pd.DataFrame(
-                out,
-                columns=["audio_id", "sample_rate", "n_samples", "duration_s",
-                         "rms", "peak", "zero_crossings", "decode_ok"],
+                    pass
+            # ... but the stats batch across rows of equal length: stack each
+            # length group into one 2D array and vectorize rms/peak/zc
+            rms = np.full(n, np.nan)
+            peak = np.zeros(n, dtype=np.int64)
+            zc = np.zeros(n, dtype=np.int64)
+            lens = np.zeros(n, dtype=np.int64)
+            groups: dict[int, list[int]] = {}
+            for i, p in enumerate(pcms):
+                if p is not None:
+                    groups.setdefault(p.shape[0], []).append(i)
+            for length, idxs in groups.items():
+                ii = np.array(idxs)
+                xi = np.stack([pcms[i] for i in idxs]).astype(np.int32)
+                xf = xi.astype(np.float64)
+                rms[ii] = np.sqrt((xf * xf).mean(axis=1))
+                peak[ii] = np.abs(xi).max(axis=1)
+                zc[ii] = ((xi[:, :-1] ^ xi[:, 1:]) < 0).sum(axis=1)
+                lens[ii] = length
+            ok = np.array([p is not None for p in pcms])
+            df = pd.DataFrame(
+                {
+                    "audio_id": b["audio_id"].to_numpy(),
+                    "sample_rate": srs,
+                    "n_samples": lens,
+                    "duration_s": np.divide(
+                        lens, srs, out=np.full(n, np.nan), where=srs > 0
+                    ),
+                    "rms": rms,
+                    "peak": peak,
+                    "zero_crossings": zc,
+                    "decode_ok": ok,
+                }
             )
+            if not ok.all():
+                stat_cols = [
+                    "sample_rate", "n_samples", "duration_s",
+                    "rms", "peak", "zero_crossings",
+                ]
+                df[stat_cols] = df[stat_cols].astype("object")
+                df.loc[~ok, stat_cols] = None
+            yield df
 
     return rows.select("audio_id", "bytes").mapInPandas(run, schema=AUDIO_STATS_SCHEMA)
 
@@ -154,18 +188,32 @@ def frame_audio_energy(rows: DataFrame, frame_ms: int = 25) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            ids, frames, energy = [], [], []
+            # per-row decode (variable payloads), then the framing + RMS
+            # batches across rows sharing (sample_rate, length): one 3D
+            # reshape + mean per group instead of per-row numpy calls
+            decoded: list[tuple[str, np.ndarray, int]] = []
             for r in b.itertuples(index=False):
                 pcm, sr = codec.decode_audio_bytes(bytes(r.bytes))
+                decoded.append((r.audio_id, pcm, sr))
+            groups: dict[tuple[int, int], list[int]] = {}
+            for i, (_aid, pcm, sr) in enumerate(decoded):
+                groups.setdefault((sr, pcm.shape[0]), []).append(i)
+            ids, frames, energy = [], [], []
+            for (sr, length), idxs in groups.items():
                 step = max(int(sr * frame_ms / 1000), 1)
-                n_frames = len(pcm) // step
+                n_frames = length // step
                 if n_frames == 0:
                     continue
-                x = pcm[: n_frames * step].astype(np.float64).reshape(n_frames, step)
-                e = np.sqrt((x * x).mean(axis=1))
-                ids.extend([r.audio_id] * n_frames)
-                frames.extend(range(n_frames))
-                energy.extend(e.tolist())
+                x = np.stack([decoded[i][1][: n_frames * step] for i in idxs])
+                e = np.sqrt(
+                    (x.astype(np.float64) ** 2)
+                    .reshape(len(idxs), n_frames, step)
+                    .mean(axis=2)
+                )
+                for row, i in enumerate(idxs):
+                    ids.extend([decoded[i][0]] * n_frames)
+                    frames.extend(range(n_frames))
+                    energy.extend(e[row].tolist())
             yield pd.DataFrame({"audio_id": ids, "frame": frames, "energy": energy})
 
     return rows.select("audio_id", "bytes").mapInPandas(run, schema=AUDIO_FRAMES_SCHEMA)

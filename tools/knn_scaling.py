@@ -1,0 +1,78 @@
+"""Adaptive-kNN scaling evidence for the north rule: the same
+knn_join_adaptive job at N and 4N cores over the SAME input, sized so
+per-core work dominates fixed stage overheads.
+
+Runs each level in its own JVM (subprocess), best-of-R timing.
+
+  PYTHONPATH=/root/repo python tools/knn_scaling.py [n_points] [n_feats] [n_low]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, os.environ["REPO"])
+from pyspark.sql import functions as F
+from pgosm_flex_spark.session import get_spark
+from pgosm_flex_spark import fixtures
+from pgosm_flex_spark.functions import tags as tagf
+from pgosm_flex_spark.operators.knn import knn_join_adaptive
+
+cpus = int(os.environ["CPUS"]); n = int(os.environ["NPOINTS"])
+nf = int(os.environ["NFEATS"]); reps = int(os.environ.get("REPS", "3"))
+spark = get_spark("knn-scaling", cores=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+pts = tagf.with_tags(fixtures.images_df(spark, n, with_pixels=False)).select("image_id", "lon", "lat").persist()
+pts.count()
+feats = (
+    tagf.with_tags(fixtures.images_df(spark, nf, with_pixels=False))
+    .select(F.col("image_id").alias("feat_id"), "lon", "lat")
+)
+
+def run():
+    return knn_join_adaptive(pts, feats, k=3, point_id="image_id", feature_id="feat_id").count()
+
+best = None
+for _ in range(reps):
+    t0 = time.time(); run(); dt = time.time() - t0
+    best = dt if best is None else min(best, dt)
+print(json.dumps({"cpus": cpus, "n_points": n, "n_feats": nf,
+                  "knn_secs_best": round(best, 2),
+                  "throughput": round(n / best, 1)}))
+"""
+
+
+def run_level(cpus: int, n_points: int, n_feats: int, reps: int) -> dict:
+    env = dict(os.environ)
+    env.update(REPO=REPO, CPUS=str(cpus), NPOINTS=str(n_points),
+               NFEATS=str(n_feats), REPS=str(reps), PYTHONPATH=REPO)
+    out = subprocess.run([sys.executable, "-c", WORKER], capture_output=True,
+                         text=True, env=env, check=True)
+    return json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+
+
+def main() -> None:
+    n_points = int(sys.argv[1]) if len(sys.argv) > 1 else 2_400_000
+    n_feats = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
+    n_low = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    reps = int(os.environ.get("REPS", "3"))
+    low = run_level(n_low, n_points, n_feats, reps)
+    high = run_level(4 * n_low, n_points, n_feats, reps)
+    eff = round(low["knn_secs_best"] / high["knn_secs_best"] / 4.0, 3)
+    print(json.dumps({
+        "n_points": n_points, "n_feats": n_feats,
+        f"local{n_low}": low,
+        f"local{4*n_low}": high,
+        "scaling_efficiency": eff,
+    }))
+
+
+if __name__ == "__main__":
+    main()
