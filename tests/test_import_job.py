@@ -153,7 +153,14 @@ def test_append_diff_empties_cell_invalidates_stale_output(spark, job_out, tmp_p
     assert exp.exceptAll(got).count() == 0
 
 
-def test_import_job_leaves_no_persisted_rdds(spark, job_out):
-    # library-mode hygiene: after a job run, nothing stays pinned in cache
+def test_import_job_leaves_no_persisted_rdds(spark, tmp_path):
+    # library-mode hygiene: a job run adds NOTHING to the persisted-RDD set
+    # (delta-based: the shared test session may carry other fixtures' caches)
     jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() == 0
+    before = jsc.getPersistentRDDs().size()
+    rc = run_job(
+        ["--out", str(tmp_path / "hygiene"), "--n-images", "500",
+         "--layerset", "minimal", "--skip-nested", "--unit-res", "13"]
+    )
+    assert rc == 0
+    assert jsc.getPersistentRDDs().size() == before

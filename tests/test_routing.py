@@ -211,12 +211,16 @@ def test_oneway_attrs_not_broadcast_joined(spark, grid_roads):
 
     edges, _ = routing.build_routing_network(grid_roads, lookup=pgosm_road(spark))
     # hint audit on the ANALYZED plan — the optimizer folds ResolvedHint into
-    # join nodes, so counting on the optimized plan is vacuously 0
+    # join nodes, so counting on the optimized plan is vacuously 0. The only
+    # hinted sides are the tiny oversized-line set (whose subtree the blades
+    # plan references twice) and, with a lookup, the 25-row pgosm.road seed:
+    # adding the lookup must add EXACTLY ONE hint — a road-sized broadcast
+    # would add more
     analyzed = edges._jdf.queryExecution().analyzed().toString()
-    assert 1 <= analyzed.count("ResolvedHint") <= 2  # lookup (+ oversized side)
     edges_nolk, _ = routing.build_routing_network(grid_roads)
     nolk = edges_nolk._jdf.queryExecution().analyzed().toString()
-    assert nolk.count("ResolvedHint") <= 1  # only the tiny oversized side
+    assert nolk.count("ResolvedHint") <= 2  # oversized side only (≤2 prints)
+    assert analyzed.count("ResolvedHint") == nolk.count("ResolvedHint") + 1
 
 
 def test_shortest_paths_khop_grid(spark, grid_roads):
