@@ -31,7 +31,14 @@ from pgosm_flex_spark.operators.pip_join import build_polygon_cover
 cpus = int(os.environ["CPUS"]); n = int(os.environ["NPOINTS"]); reps = int(os.environ.get("REPS", "3"))
 spark = get_spark("pip-scaling", cores=cpus)
 spark.sparkContext.setLogLevel("ERROR")
-pts = tagf.with_tags(fixtures.images_df(spark, n, with_pixels=False)).select("image_id", "lon", "lat").persist()
+cache_dir = os.environ.get("SCALE_INPUT")
+if cache_dir and os.path.isdir(cache_dir):
+    # pre-materialized points (tools/prep_scale_input.py): the fixture
+    # generation otherwise dominates each leg's wall time and drags the
+    # timed window outside the quiet period being measured
+    pts = spark.read.parquet(cache_dir).persist()
+else:
+    pts = tagf.with_tags(fixtures.images_df(spark, n, with_pixels=False)).select("image_id", "lon", "lat").persist()
 pts.count()
 osm = fixtures.osm_objects_df(spark)
 place = relation_member_dedup(build_layer_tables(osm)["place_polygon"]).filter(F.col("geom_wkb").isNotNull()).persist()
