@@ -32,11 +32,15 @@ spark.sparkContext.setLogLevel("ERROR")
 cache_dir = os.environ.get("SCALE_INPUT")
 if cache_dir and os.path.isdir(cache_dir):
     # pre-materialized fixture (tools/prep_scale_input.py); ids are
-    # img{i:012d}, so a prefix filter selects the first n points without
-    # collapsing partitioning the way limit() would
-    pts = spark.read.parquet(cache_dir).filter(
-        F.col("image_id") < "img%012d" % n
-    ).persist()
+    # img{i:012d} and contiguous per file, so a prefix filter leaves the
+    # subset in only 1-2 read partitions (128 MB packing) — repartition to
+    # the leg's core count or the "parallel" leg runs nearly serial
+    pts = (
+        spark.read.parquet(cache_dir)
+        .filter(F.col("image_id") < "img%012d" % n)
+        .repartition(max(cpus * 2, 8))
+        .persist()
+    )
 else:
     pts = tagf.with_tags(fixtures.images_df(spark, n, with_pixels=False)).select("image_id", "lon", "lat").persist()
 pts.count()
