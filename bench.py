@@ -145,7 +145,9 @@ def main() -> None:
     feats = (
         tagf.with_tags(fixtures.images_df(spark, 20000, with_pixels=False))
         .select(F.col("image_id").alias("feat_id"), "lon", "lat")
+        .persist()  # the join reads this twice per rep (density map + buckets)
     )
+    feats.count()
     timed(
         "q_knn3_adaptive",
         lambda: knn_join_adaptive(
@@ -153,6 +155,7 @@ def main() -> None:
         ).count(),
     )
     pts.unpersist()  # spatial sections done
+    feats.unpersist()
 
     # ---- text dedup + ANN on the real testdata tables
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
