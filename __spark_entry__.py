@@ -740,6 +740,72 @@ def q_route_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_route_path_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (closing the last asterisk): the reference rollup's per-route
+    ``ARRAY_AGG(vertex_id) AS vertex_ids, ARRAY_AGG(edge_id) AS edge_ids``
+    (/root/reference/db/deploy/routing_functions.sql:586-588), reconstructed
+    from the convergent SSSP's predecessor tree via pointer doubling.
+
+    Engine vertex ids are content hashes DuckDB cannot recompute, so the
+    oracle-facing path is the route spelled in quantized coordinate space:
+    each step formatted as ``round(lon*1e7):round(lat*1e7)`` (exact integers
+    — the blade coords are already on the 1e-7 grid) joined by ``>``. The
+    oracle runs the same |V|-1-round DP carrying (d, hops, pred) through a
+    struct-min, then walks the predecessor chain with a recursive CTE.
+    Tie-break parity note: on an EXACT double tie of (dist, hops) the engine
+    breaks by predecessor hash id, the oracle by predecessor coordinates —
+    unreachable here because equal-cost grid detours sum distinct doubles."""
+    from pgosm_flex_spark.operators.routing import (
+        build_routing_network,
+        route_paths,
+        shortest_paths,
+    )
+    from pgosm_flex_spark.sources.lookup import pgosm_road
+
+    roads = td.street_ways(spark, sf_dir)
+    edges, vertices = build_routing_network(roads, lookup=pgosm_road(spark))
+    edges = edges.persist()
+    src = vertices.orderBy("lon", "lat").select("vertex_id").first()["vertex_id"]
+    paths = route_paths(shortest_paths(edges, src, with_pred=True), src)
+    edges.unpersist(blocking=False)
+    vcoord = vertices.select(
+        "vertex_id",
+        "lon",
+        "lat",
+        F.concat(
+            F.round(F.col("lon") * 1e7).cast("long").cast("string"),
+            F.lit(":"),
+            F.round(F.col("lat") * 1e7).cast("long").cast("string"),
+        ).alias("__pt"),
+    )
+    steps = paths.select(
+        "vertex_id", "dist", "hops", F.posexplode("vertex_ids").alias("pos", "step_vid")
+    ).join(
+        vcoord.select(F.col("vertex_id").alias("step_vid"), F.col("__pt")),
+        "step_vid",
+    )
+    agg = steps.groupBy("vertex_id", "dist", "hops").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "__pt"))),
+                lambda x: x["__pt"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        agg.join(vcoord.select("vertex_id", "lon", "lat"), "vertex_id")
+        .select(
+            "lon",
+            "lat",
+            F.round("dist", 2).alias("secs"),
+            F.col("hops").cast("long").alias("segs"),
+            "path",
+        )
+        .orderBy("lon", "lat")
+    )
+
+
 def q_pgosm_road_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The seeded lookup table (S6; golden count
     /root/reference/tests/sql/pgosm_road_row_count.sql)."""
@@ -980,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "routing_edges": q_routing_edges,
         "routing_vertex_degrees": q_routing_vertex_degrees,
         "route_time_rollup": q_route_time_rollup,
+        "route_path_rollup": q_route_path_rollup,
         "pgosm_road_rows": q_pgosm_road_rows,
         "qc_features_not_in_layers": q_qc_features_not_in_layers,
         "qc_tag_suggestions": q_qc_tag_suggestions,
@@ -1515,6 +1582,30 @@ def _oracle_routing() -> dict[str, str]:
                 SELECT a.bx, a.by, t.d + a.w FROM d{i} t
                 JOIN arcs a ON a.ax = t.vx AND a.ay = t.vy
             ) GROUP BY vx, vy)""")
+    # predecessor-carrying variant of the same DP: struct-min over
+    # (d, hops, pred_x, pred_y) mirrors the engine's
+    # min(struct(dist, hops, pred_vertex, pred_edge)) round aggregate
+    p0 = """
+        p0 AS (SELECT vx0 AS vx, vy0 AS vy, 0.0 AS d, 0 AS h,
+                      CAST(NULL AS DOUBLE) AS px, CAST(NULL AS DOUBLE) AS py
+               FROM verts ORDER BY vx0, vy0 LIMIT 1)"""
+    prounds = []
+    for i in range(n_rounds):
+        prounds.append(f"""
+        p{i + 1} AS MATERIALIZED (
+            SELECT vx, vy, s['d'] AS d, s['h'] AS h, s['px'] AS px, s['py'] AS py
+            FROM (
+                SELECT vx, vy, MIN({{'d': d, 'h': h, 'px': px, 'py': py}}) AS s
+                FROM (
+                    SELECT vx, vy, d, h, px, py FROM p{i}
+                    UNION ALL
+                    SELECT a.bx, a.by, t.d + a.w, t.h + 1, t.vx, t.vy FROM p{i} t
+                    JOIN arcs a ON a.ax = t.vx AND a.ay = t.vy
+                ) GROUP BY vx, vy))""")
+    fmt = (
+        "CAST(CAST(ROUND({x} * 10000000) AS BIGINT) AS VARCHAR) || ':' || "
+        "CAST(CAST(ROUND({y} * 10000000) AS BIGINT) AS VARCHAR)"
+    )
     route_rollup = f"""
         WITH hh AS (SELECT s_suppkey AS k FROM supplier WHERE s_suppkey < 5),
         v AS (SELECT s_suppkey AS k FROM supplier WHERE s_suppkey BETWEEN 5 AND 9),
@@ -1533,10 +1624,44 @@ def _oracle_routing() -> dict[str, str]:
         SELECT vx AS lon, vy AS lat, ROUND(d, 2) AS secs FROM d{n_rounds}
         ORDER BY lon, lat
     """
+    grid_ctes = f"""
+        hh AS (SELECT s_suppkey AS k FROM supplier WHERE s_suppkey < 5),
+        v AS (SELECT s_suppkey AS k FROM supplier WHERE s_suppkey BETWEEN 5 AND 9),
+        hb AS (
+            SELECT hh.k, {q.format(v=vx.replace('(k)', '(v.k)'))} AS bx FROM hh, v
+            UNION ALL SELECT k, {td.LON0} FROM hh
+            UNION ALL SELECT k, {td.LON0 + td.LON_SPAN} FROM hh),
+        hseq AS (SELECT k, bx, ROW_NUMBER() OVER (PARTITION BY k ORDER BY bx) - 1 AS seq FROM hb),
+        vb AS (
+            SELECT v.k, {q.format(v=hy.replace('(k)', '(hh.k)'))} AS by FROM v, hh
+            UNION ALL SELECT k, {td.LAT0} FROM v
+            UNION ALL SELECT k, {td.LAT0 + td.LAT_SPAN} FROM v),
+        vseq AS (SELECT k, by, ROW_NUMBER() OVER (PARTITION BY k ORDER BY by) - 1 AS seq FROM vb)"""
+    route_path_rollup = f"""
+        WITH RECURSIVE {grid_ctes},
+        {arcs_sql.replace('d0 AS', '__unused_d0 AS')},
+        {p0},
+        {','.join(prounds)},
+        walk AS (
+            SELECT vx AS tx, vy AS ty, d, h, vx AS cx, vy AS cy,
+                   {fmt.format(x='vx', y='vy')} AS path
+            FROM p{n_rounds}
+            UNION ALL
+            SELECT w.tx, w.ty, w.d, w.h, p.px, p.py,
+                   {fmt.format(x='p.px', y='p.py')} || '>' || w.path
+            FROM walk w JOIN p{n_rounds} p ON p.vx = w.cx AND p.vy = w.cy
+            WHERE p.px IS NOT NULL
+        )
+        SELECT w.tx AS lon, w.ty AS lat, ROUND(w.d, 2) AS secs,
+               CAST(w.h AS BIGINT) AS segs, w.path AS path
+        FROM walk w JOIN p{n_rounds} p ON p.vx = w.cx AND p.vy = w.cy
+        WHERE p.px IS NULL ORDER BY lon, lat
+    """
     return {
         "routing_edges": edges,
         "routing_vertex_degrees": degrees,
         "route_time_rollup": route_rollup,
+        "route_path_rollup": route_path_rollup,
         "pgosm_road_rows": road_rows,
         "qc_features_not_in_layers": qc,
     }

@@ -140,10 +140,16 @@ def audio_stats(rows: DataFrame) -> DataFrame:
             peak = np.zeros(n, dtype=np.int64)
             zc = np.zeros(n, dtype=np.int64)
             lens = np.zeros(n, dtype=np.int64)
+            # a zero-length PCM or sr<=0 is a degenerate decode: excluding it
+            # here (not just from the stacks — np.abs(x).max(axis=1) raises on
+            # zero-width) keeps the old per-row failure semantics: that row is
+            # decode_ok=False, the rest of the batch is unaffected
             groups: dict[int, list[int]] = {}
             for i, p in enumerate(pcms):
-                if p is not None:
+                if p is not None and p.shape[0] > 0 and srs[i] > 0:
                     groups.setdefault(p.shape[0], []).append(i)
+                else:
+                    pcms[i] = None
             for length, idxs in groups.items():
                 ii = np.array(idxs)
                 xi = np.stack([pcms[i] for i in idxs]).astype(np.int32)

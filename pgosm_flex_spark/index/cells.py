@@ -146,6 +146,19 @@ def cell_col(lon: Column, lat: Column, res: int) -> Column:
     )
 
 
+def pack_col(res, x: Column, y: Column) -> Column:
+    """Pack (res, x, y) Column exprs into an int64 cell id — the Column-side
+    twin of :func:`pack`, so callers never duplicate the shift literals.
+    ``res`` may be a Python int or a Column; x/y must already be wrapped and
+    range-checked by the caller."""
+    res_col = F.lit(res) if isinstance(res, int) else res
+    return (
+        res_col.cast("long") * F.lit(1 << _RES_SHIFT).cast("long")
+        + x.cast("long") * F.lit(1 << _X_SHIFT).cast("long")
+        + y.cast("long")
+    )
+
+
 def cell_x_col(cell: Column) -> Column:
     return F.shiftright(cell, _X_SHIFT).bitwiseAND(F.lit(_XY_MASK))
 

@@ -259,12 +259,7 @@ def knn_join_adaptive(
             for dx in (-1, 0, 1):
                 for dy in (-1, 0, 1):
                     ny = y + F.lit(dy)
-                    cell_expr = (
-                        F.lit(r).cast("long") * F.lit(1 << 58).cast("long")
-                        + F.pmod(x + F.lit(dx), n_r).cast("long")
-                        * F.lit(1 << 29).cast("long")
-                        + ny.cast("long")
-                    )
+                    cell_expr = cells.pack_col(r, F.pmod(x + F.lit(dx), n_r), ny)
                     neigh.append(F.when((ny >= 0) & (ny < n_r), cell_expr))
             rc = (
                 feats.select(F.explode(F.array(*neigh)).alias("__rcell"))
@@ -367,10 +362,11 @@ def knn_join_adaptive(
         .filter(min_dist_m <= F.col("__bound"))
         .withColumn(
             "__cell",
-            F.col("__s").cast("long") * F.lit(1 << 58).cast("long")
-            + F.pmod(F.col("__px") + F.col("__o.dx"), F.col("__n")).cast("long")
-            * F.lit(1 << 29).cast("long")
-            + F.col("__ny").cast("long"),
+            cells.pack_col(
+                F.col("__s"),
+                F.pmod(F.col("__px") + F.col("__o.dx"), F.col("__n")),
+                F.col("__ny"),
+            ),
         )
         .select("__pid", "__plon", "__plat", "__bound", "__cell")
     )

@@ -364,12 +364,13 @@ def shortest_paths_khop(
     dist = spark.createDataFrame(
         [(int(source_vertex_id), 0.0, 0)], schema="vertex_id long, dist double, hops int"
     )
-    for _ in range(k_hops):
+    for i in range(k_hops):
         cand = dist.join(arcs, dist["vertex_id"] == arcs["src"]).select(
             arcs["dst"].alias("vertex_id"),
             (dist["dist"] + arcs["w"]).alias("dist"),
             (dist["hops"] + F.lit(1)).alias("hops"),
         )
+        prev = dist
         dist = (
             dist.unionByName(cand)
             .groupBy("vertex_id")
@@ -381,6 +382,10 @@ def shortest_paths_khop(
             )
             .localCheckpoint(eager=True)
         )
+        # the eager checkpoint above already consumed prev; drop its blocks so
+        # k rounds pin one frontier, not k (round 0's prev is not checkpointed)
+        if i > 0:
+            prev.unpersist(blocking=False)
     arcs.unpersist(blocking=False)
     return dist
 
@@ -391,6 +396,7 @@ def shortest_paths(
     fwd_cost: str = "cost_seconds_forward",
     rev_cost: str = "cost_seconds_reverse",
     max_rounds: int = 10_000,
+    with_pred: bool = False,
 ) -> DataFrame:
     """Single-source shortest paths run to CONVERGENCE — the exact analog of
     the reference's pgr_dijkstra (/root/reference/db/deploy/
@@ -404,12 +410,24 @@ def shortest_paths(
     non-negative weights Bellman-Ford converges within |V|-1 rounds, so the
     ``max_rounds`` cap is a runaway guard, not a semantic bound. One shuffle
     plus one count action per round; each round localCheckpoints to truncate
-    the iterative lineage."""
+    the iterative lineage and drops the previous round's blocks so only one
+    frontier stays pinned.
+
+    With ``with_pred=True`` the per-round min-struct also carries
+    ``(pred_vertex, pred_edge)`` — the upstream vertex and edge of the
+    winning relaxation — at zero extra shuffles; ties on (dist, hops) break
+    deterministically by smallest (pred_vertex, pred_edge). The source row
+    carries the reference's ``-1`` sentinel (pgr_dijkstra's edge = -1 on the
+    terminal row). Feed the result to :func:`route_paths` to materialize the
+    reference rollup's ``vertex_ids``/``edge_ids`` arrays
+    (routing_functions.sql:586-588)."""
+    pcols = ("pred_vertex", "pred_edge") if with_pred else ()
     arcs = (
         edges.select(
             F.col("source_vertex").alias("src"),
             F.col("target_vertex").alias("dst"),
             F.col(fwd_cost).alias("w"),
+            F.col("edge_id").alias("eid"),
         )
         .filter(F.col("w") >= 0)
         .unionByName(
@@ -417,46 +435,122 @@ def shortest_paths(
                 F.col("target_vertex").alias("src"),
                 F.col("source_vertex").alias("dst"),
                 F.col(rev_cost).alias("w"),
+                F.col("edge_id").alias("eid"),
             ).filter(F.col("w") >= 0)
         )
         .persist()
     )
     spark = edges.sparkSession
     dist = spark.createDataFrame(
-        [(int(source_vertex_id), 0.0, 0)], schema="vertex_id long, dist double, hops int"
+        [(int(source_vertex_id), 0.0, 0, -1, -1)],
+        schema="vertex_id long, dist double, hops int, pred_vertex long, pred_edge long",
     ).localCheckpoint(eager=True)
+    state_cols = ("dist", "hops", *pcols)
     for _ in range(max_rounds):
         cand = dist.join(arcs, dist["vertex_id"] == arcs["src"]).select(
             arcs["dst"].alias("vertex_id"),
             (dist["dist"] + arcs["w"]).alias("dist"),
             (dist["hops"] + F.lit(1)).alias("hops"),
+            dist["vertex_id"].alias("pred_vertex"),
+            arcs["eid"].alias("pred_edge"),
         )
         new = (
             dist.unionByName(cand)
             .groupBy("vertex_id")
-            .agg(F.min(F.struct("dist", "hops")).alias("__s"))
+            .agg(F.min(F.struct(*state_cols)).alias("__s"))
             .select(
                 "vertex_id",
-                F.col("__s.dist").alias("dist"),
-                F.col("__s.hops").alias("hops"),
+                *[F.col(f"__s.{c}").alias(c) for c in state_cols],
+                *(
+                    []
+                    if with_pred
+                    else [
+                        F.lit(-1).cast("long").alias("pred_vertex"),
+                        F.lit(-1).cast("long").alias("pred_edge"),
+                    ]
+                ),
             )
             .localCheckpoint(eager=True)
         )
         n_changed = (
-            new.select("vertex_id", F.struct("dist", "hops").alias("ns"))
+            new.select("vertex_id", F.struct(*state_cols).alias("ns"))
             .join(
-                dist.select("vertex_id", F.struct("dist", "hops").alias("os")),
+                dist.select("vertex_id", F.struct(*state_cols).alias("os")),
                 "vertex_id",
                 "left",
             )
             .filter(F.col("os").isNull() | (F.col("ns") != F.col("os")))
             .count()
         )
+        dist.unpersist(blocking=False)
         dist = new
         if n_changed == 0:
             break
     arcs.unpersist(blocking=False)
-    return dist
+    cols = ["vertex_id", "dist", "hops", *pcols]
+    return dist.select(*cols)
+
+
+def route_paths(pred: DataFrame, source_vertex_id: int) -> DataFrame:
+    """Reconstruct the actual route to every reached vertex from the
+    predecessor frontier of ``shortest_paths(..., with_pred=True)`` — the
+    set-oriented analog of the reference rollup's per-route
+    ``ARRAY_AGG(vertex_id) AS vertex_ids, ARRAY_AGG(edge_id) AS edge_ids``
+    (/root/reference/db/deploy/routing_functions.sql:586-588; there
+    pgr_dijkstra emits the step rows, here they come from the tree).
+
+    Pointer doubling, not per-hop walking: each row carries a contiguous
+    path segment ``(anc → vertex]`` as (vseg, eseg) arrays plus the segment's
+    upstream ancestor pointer; every round joins active rows to the current
+    state at their ancestor and splices the ancestor's segment in front,
+    doubling segment length — ceil(log2(max_hops)) shuffles instead of
+    max_hops, the difference between 20 and a million rounds at continental
+    graph diameters. Output per reached vertex: ``vertex_ids`` =
+    [source, …, vertex], ``edge_ids`` = the traversed edge ids (no trailing
+    -1 sentinel — the reference's pgr LEFT JOIN artifact, documented
+    divergence), dist, hops."""
+    src = int(source_vertex_id)
+    state = pred.select(
+        "vertex_id",
+        "dist",
+        "hops",
+        F.when(F.col("vertex_id") == src, F.lit(None).cast("long"))
+        .otherwise(F.col("pred_vertex"))
+        .alias("anc"),
+        F.array(F.col("vertex_id")).alias("vseg"),
+        F.when(F.col("vertex_id") == src, F.array().cast("array<long>"))
+        .otherwise(F.array(F.col("pred_edge")))
+        .alias("eseg"),
+    ).localCheckpoint(eager=True)
+    while True:
+        done = state.filter(F.col("anc").isNull())
+        active = state.filter(F.col("anc").isNotNull())
+        if active.isEmpty():
+            break
+        anc_tbl = state.select(
+            F.col("vertex_id").alias("__av"),
+            F.col("anc").alias("__aanc"),
+            F.col("vseg").alias("__avseg"),
+            F.col("eseg").alias("__aeseg"),
+        )
+        spliced = active.join(anc_tbl, active["anc"] == anc_tbl["__av"]).select(
+            "vertex_id",
+            "dist",
+            "hops",
+            F.col("__aanc").alias("anc"),
+            F.concat(F.col("__avseg"), F.col("vseg")).alias("vseg"),
+            F.concat(F.col("__aeseg"), F.col("eseg")).alias("eseg"),
+        )
+        new = done.unionByName(spliced).localCheckpoint(eager=True)
+        state.unpersist(blocking=False)
+        state = new
+    return state.select(
+        "vertex_id",
+        "dist",
+        "hops",
+        F.col("vseg").alias("vertex_ids"),
+        F.col("eseg").alias("edge_ids"),
+    )
 
 
 def build_routing_network(

@@ -300,3 +300,58 @@ def test_shortest_paths_convergence_matches_dijkstra(spark, grid_roads):
         assert abs(got[vid] - d) < 1e-9, vid
     kb = {int(r.vertex_id): r.dist for r in bounded.itertuples(index=False)}
     assert got == kb
+
+
+def test_route_paths_reconstruction(spark, grid_roads):
+    # with_pred=True + route_paths must yield, for EVERY reached vertex, a
+    # route that (a) starts at the source and ends at the vertex, (b) walks
+    # only real directed edges whose costs sum to the optimal Dijkstra
+    # distance, (c) has hops == len(edge_ids) == len(vertex_ids) - 1 — i.e.
+    # the reference rollup's vertex_ids/edge_ids arrays
+    # (routing_functions.sql:586-588) are reconstructable and optimal
+    import heapq
+
+    edges, vertices = routing.build_routing_network(grid_roads)
+    v = vertices.toPandas()
+    src = int(v.sort_values(["lon", "lat"]).iloc[0]["vertex_id"])
+    pred = routing.shortest_paths(edges, src, with_pred=True)
+    paths = routing.route_paths(pred, src).toPandas()
+
+    e = edges.toPandas()
+    cost = {}
+    for r in e.itertuples(index=False):
+        if r.cost_seconds_forward >= 0:
+            cost[(r.source_vertex, r.target_vertex, r.edge_id)] = r.cost_seconds_forward
+        if r.cost_seconds_reverse >= 0:
+            cost[(r.target_vertex, r.source_vertex, r.edge_id)] = r.cost_seconds_reverse
+    adj = {}
+    for (u, w_, _), c in cost.items():
+        adj.setdefault(u, []).append((w_, c))
+    best = {src: 0.0}
+    heap = [(0.0, src)]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > best.get(u, float("inf")):
+            continue
+        for nxt, w in adj.get(u, []):
+            nd = d + w
+            if nd < best.get(nxt, float("inf")):
+                best[nxt] = nd
+                heapq.heappush(heap, (nd, nxt))
+
+    assert set(paths["vertex_id"].astype(int)) == set(best)
+    for r in paths.itertuples(index=False):
+        vids = list(r.vertex_ids)
+        eids = list(r.edge_ids)
+        assert vids[0] == src
+        assert vids[-1] == r.vertex_id
+        assert len(eids) == len(vids) - 1 == r.hops
+        walked = 0.0
+        for u, w_, eid in zip(vids[:-1], vids[1:], eids):
+            assert (u, w_, eid) in cost, (u, w_, eid)
+            walked += cost[(u, w_, eid)]
+        assert abs(walked - best[int(r.vertex_id)]) < 1e-9
+        assert abs(r.dist - walked) < 1e-9
+    # the source's own route is the degenerate [src], []
+    srow = paths[paths["vertex_id"] == src].iloc[0]
+    assert list(srow.vertex_ids) == [src] and list(srow.edge_ids) == []
