@@ -1001,14 +1001,19 @@ def q_video_frame_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full decode + phash verify per image, projected to the columns a SQL
+    oracle can recompute from the F1 formulas: w/h come from the DECODED
+    array's shape (not the header metadata) and phash_ok/decode_ok require
+    the round-trip to actually succeed, so a broken codec mismatches every
+    row. mean_lum (noise-dependent, not SQL-expressible) stays covered by the
+    PSNR/phash pytests."""
     from pgosm_flex_spark import fixtures
     from pgosm_flex_spark.images import ops as img_ops
 
     imgs = fixtures.images_df(spark, 500, with_pixels=True)
     stats = img_ops.decode_stats(imgs)
     return stats.select(
-        "image_id", "w", "h", "fmt", F.round("mean_lum", 4).alias("mean_lum"),
-        "phash_ok", "decode_ok",
+        "image_id", "w", "h", "fmt", "phash_ok", "decode_ok"
     ).orderBy("image_id")
 
 
@@ -1706,6 +1711,18 @@ def oracle_sql() -> dict[str, str]:
                CAST(32 AS INT) AS w, CAST(32 AS INT) AS h
         FROM v ORDER BY video_id, frame
     """
-    # intentionally absent (rows-only check): image_decode_stats only —
-    # binary payloads with engine-side codecs have no SQL-expressible oracle
+    # image_decode_stats: w/h/fmt follow the F1 fixture formulas
+    # (fixtures.py image_dims/image_fmt); the engine reads w/h off the
+    # DECODED array and phash_ok/decode_ok off a real round-trip, so any
+    # codec breakage mismatches. mean_lum (seeded-noise dependent) is not
+    # SQL-expressible and is excluded from the oracle-facing projection —
+    # per-pixel fidelity is pinned by the PSNR/phash pytests instead.
+    out["image_decode_stats"] = """
+        SELECT 'img' || lpad(CAST(event_id AS VARCHAR), 12, '0') AS image_id,
+               CAST(64 + (event_id % 4) * 32 AS INT) AS w,
+               CAST(64 + (event_id % 3) * 32 AS INT) AS h,
+               CASE WHEN event_id % 3 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+               TRUE AS phash_ok, TRUE AS decode_ok
+        FROM events WHERE event_id < 500 ORDER BY image_id
+    """
     return out

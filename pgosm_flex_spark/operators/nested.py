@@ -47,6 +47,7 @@ def build_nested_admin_polygons(
     id_col: str = "osm_id",
     fine_res: int = 15,
     broadcast_containers: bool = True,
+    salt: int = 8,
 ) -> DataFrame:
     """place_polygon → one row per participating polygon with path columns.
 
@@ -54,10 +55,13 @@ def build_nested_admin_polygons(
     nest_level, name_path, osm_id_path, admin_level_path, row_innermost,
     innermost.
 
-    ``broadcast_containers`` hints the container-attribute join (admin
-    hierarchies are small in practice); pass False when a continental
-    place_polygon set would overflow the broadcast limit — the join then
-    shuffles both sides on container_id instead.
+    ``broadcast_containers=True`` (default) broadcasts every small side
+    (admin hierarchies are small in practice): the polygon cover inside the
+    centroid pip_join, the container-attribute join, and the innermost
+    ``others`` anti-join side. Pass False when a continental place_polygon
+    set would overflow the broadcast limit — then NO stage broadcasts this
+    table: the pip_join runs its salted shuffle fallback (``salt`` replicas
+    spread hot cells), and the attribute/anti joins shuffle on their keys.
     """
     participates = (
         (F.col("boundary") == "administrative")
@@ -93,6 +97,8 @@ def build_nested_admin_polygons(
         point_cols=["child_id", "child_bbox"],
         poly_id=id_col,
         fine_res=fine_res,
+        broadcast_cover=broadcast_containers,
+        salt=salt,
     ).withColumnRenamed(id_col, "container_id")
 
     containers = with_geo.select(
@@ -203,7 +209,9 @@ def build_nested_admin_polygons(
         .distinct()
         .withColumn("__contains_others", F.lit(True))
     )
-    out = out.join(F.broadcast(others), id_col, "left")
+    if broadcast_containers:
+        others = F.broadcast(others)
+    out = out.join(others, id_col, "left")
     out = out.withColumn(
         "innermost", F.col("row_innermost") & F.col("__contains_others").isNull()
     ).drop("__contains_others")

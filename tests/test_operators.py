@@ -280,16 +280,31 @@ def test_polygons_within_container_matches_single(world):
         assert (batch == single).all(), cid
 
 
-def test_nested_no_broadcast_fallback(world):
-    # broadcast_containers=False must produce the same rows with no explicit
-    # broadcast hint on the container side
-    ref = build_nested_admin_polygons(world["place_polygon"])
-    alt = build_nested_admin_polygons(world["place_polygon"], broadcast_containers=False)
+def test_nested_no_broadcast_fallback(world, spark):
+    # broadcast_containers=False must thread through EVERY stage — the inner
+    # pip_join's cover, the container-attribute join, and the innermost
+    # `others` side: zero explicit broadcast hints in the analyzed plan, and
+    # with the planner's auto-broadcast off, zero BroadcastExchange in the
+    # physical plan — while producing the identical rows
+    # truncate input lineage so the audit covers the nested pipeline itself,
+    # not the fixture world's own upstream broadcast joins
+    pp = world["place_polygon"].localCheckpoint(eager=True)
+    ref = build_nested_admin_polygons(pp)
+    alt = build_nested_admin_polygons(pp, broadcast_containers=False, salt=4)
     # hint audit on the ANALYZED plan (the optimizer folds ResolvedHint into
     # join nodes, so the optimized plan always counts 0)
     analyzed = alt._jdf.queryExecution().analyzed().toString()
     ref_analyzed = ref._jdf.queryExecution().analyzed().toString()
-    assert analyzed.count("ResolvedHint") < ref_analyzed.count("ResolvedHint")
+    assert analyzed.count("ResolvedHint") == 0
+    assert ref_analyzed.count("ResolvedHint") > 0
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        audit = build_nested_admin_polygons(pp, broadcast_containers=False, salt=4)
+        plan = audit._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     a = sorted(map(tuple, ref.select("osm_id", "nest_level", "innermost").collect()))
     b = sorted(map(tuple, alt.select("osm_id", "nest_level", "innermost").collect()))
     assert a == b
