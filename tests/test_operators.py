@@ -231,9 +231,10 @@ def test_pip_join_point_side_no_shuffle(world, points, spark):
 
 
 def test_knn_adaptive_point_side_no_shuffle(spark):
-    """Scale guard: adaptive kNN's point pipeline (level pick -> ring explode
-    -> broadcast candidate join -> streaming topk) must not hash-partition
-    the point side."""
+    """Scale guard, both top-k strategies: 'stream' must not hash-partition
+    the point side at all; the default 'window' may exchange ONLY the
+    group-limited top-k rows — the Partial WindowGroupLimit must sit below
+    the exchange so the candidate set never shuffles."""
     import pandas as pd
     from pgosm_flex_spark.operators.knn import knn_join_adaptive
 
@@ -255,9 +256,24 @@ def test_knn_adaptive_point_side_no_shuffle(spark):
             }
         )
     )
-    out = knn_join_adaptive(pts, feats, k=3, point_id="image_id", feature_id="osm_id")
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    stream = knn_join_adaptive(
+        pts, feats, k=3, point_id="image_id", feature_id="osm_id",
+        topk_strategy="stream",
+    )
+    plan = stream._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan, plan[:2000]
+
+    win = knn_join_adaptive(pts, feats, k=3, point_id="image_id", feature_id="osm_id")
+    wplan = win._jdf.queryExecution().executedPlan().toString()
+    # exactly one point-side exchange, fed by the Partial group limit
+    assert wplan.count("Exchange hashpartitioning") == 1, wplan[:2000]
+    partial_pos = wplan.find("Partial")
+    exch_pos = wplan.find("Exchange hashpartitioning")
+    assert 0 <= exch_pos < partial_pos, wplan[:2000]
+    # identical rows from both strategies
+    a = sorted(map(tuple, stream.collect()))
+    b = sorted(map(tuple, win.collect()))
+    assert a == b and len(a) == 200 * 3
 
 
 def test_polygons_within_container_matches_single(world):

@@ -35,8 +35,16 @@ cache_dir = os.environ.get("SCALE_INPUT")
 if cache_dir and os.path.isdir(cache_dir):
     # pre-materialized points (tools/prep_scale_input.py): the fixture
     # generation otherwise dominates each leg's wall time and drags the
-    # timed window outside the quiet period being measured
-    pts = spark.read.parquet(cache_dir).persist()
+    # timed window outside the quiet period being measured. Same prefix
+    # filter + repartition as knn_scaling: without it a cache prepped at a
+    # different size mislabels n_points/throughput, and the contiguous-id
+    # packing leaves the subset in 1-2 read partitions
+    pts = (
+        spark.read.parquet(cache_dir)
+        .filter(F.col("image_id") < "img%012d" % n)
+        .repartition(max(cpus * 2, 8))
+        .persist()
+    )
 else:
     pts = tagf.with_tags(fixtures.images_df(spark, n, with_pixels=False)).select("image_id", "lon", "lat").persist()
 pts.count()
