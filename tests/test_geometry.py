@@ -181,6 +181,30 @@ def test_segment_pair_parallel_skipped():
     assert pts.shape[0] == 0
 
 
+def test_segment_pairs_flat_matches_matrix_kernel():
+    # the flat elementwise kernel (blade cut batching) must agree with the
+    # (m, n) matrix kernel on every combination of a random segment soup —
+    # same hits, same points, same eps semantics
+    rng = np.random.default_rng(7)
+    a = rng.uniform(-1, 1, size=(9, 2, 2))
+    b = rng.uniform(-1, 1, size=(7, 2, 2))
+    pts_m, ij = kernels.segment_pair_intersections(
+        a[:, 0], a[:, 1], b[:, 0], b[:, 1]
+    )
+    # enumerate all 9x7 combos for the flat kernel, row-major like the cut
+    ii, jj = np.meshgrid(np.arange(9), np.arange(7), indexing="ij")
+    ii, jj = ii.ravel(), jj.ravel()
+    pts_f, hit = kernels.segment_pairs_flat(
+        a[ii, 0], a[ii, 1], b[jj, 0], b[jj, 1]
+    )
+    got = {(int(ii[h]), int(jj[h])) for h in hit}
+    exp = {(int(i), int(j)) for i, j in ij}
+    assert got == exp
+    order_m = np.lexsort((pts_m[:, 1], pts_m[:, 0]))
+    order_f = np.lexsort((pts_f[:, 1], pts_f[:, 0]))
+    np.testing.assert_allclose(pts_f[order_f], pts_m[order_m], atol=0)
+
+
 def test_polygon_within_concave_and_holes():
     import numpy as np
     from pgosm_flex_spark.geometry import kernels, wkb
