@@ -167,9 +167,11 @@ def knn_join_adaptive(
        features in the 3×3 ring around every occupied cell — built by
        exploding each feature cell's 9 neighbors and re-aggregating, so a
        point cell's lookup answers "features in MY 3×3 ring" exactly.
-    2. Points take one chained broadcast-left-join per level (map-side, no
-       shuffle) and pick r* = finest level whose ring holds ≥ k features
-       (else the coarsest level) — all JVM CASE logic.
+    2. Points pick r* = finest level whose ring holds ≥ k features (else the
+       coarsest level) in ONE vectorized pandas UDF: numpy searchsorted over
+       the sorted broadcast density map, 13 lookups/point, no joins, no
+       shuffle (a broadcast-join per level rebuilds the exchange 13× —
+       column renames defeat ReuseExchange).
     3. One ring explode at s = r* − search_offset and one broadcast join
        against feature buckets at every s level (mixed resolutions share one
        join: the cell id encodes its level), then the top-k.

@@ -71,9 +71,13 @@ def run_level(cpus: int, n_points: int, n_feats: int, reps: int) -> dict:
     env = dict(os.environ)
     env.update(REPO=REPO, CPUS=str(cpus), NPOINTS=str(n_points),
                NFEATS=str(n_feats), REPS=str(reps), PYTHONPATH=REPO)
+    l0 = os.getloadavg()[0]
     out = subprocess.run([sys.executable, "-c", WORKER], capture_output=True,
                          text=True, env=env, check=True)
-    return json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+    rec = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+    rec["load_before"] = round(l0, 2)
+    rec["load_after"] = round(os.getloadavg()[0], 2)
+    return rec
 
 
 def main() -> None:
@@ -81,8 +85,12 @@ def main() -> None:
     n_feats = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
     n_low = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     reps = int(os.environ.get("REPS", "3"))
-    low = run_level(n_low, n_points, n_feats, reps)
+    # HIGH leg first: the 4N-core leg is the contention-sensitive one (it
+    # needs 4N of the host's ~26 effective cores free), so it gets the
+    # freshest part of the quiet window; the N-core leg tolerates ambient
+    # load far better. Per-leg load readings make pollution visible.
     high = run_level(4 * n_low, n_points, n_feats, reps)
+    low = run_level(n_low, n_points, n_feats, reps)
     eff = round(low["knn_secs_best"] / high["knn_secs_best"] / 4.0, 3)
     print(json.dumps({
         "n_points": n_points, "n_feats": n_feats,

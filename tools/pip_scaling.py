@@ -71,17 +71,22 @@ def run_level(cpus: int, n_points: int, reps: int) -> dict:
     env = dict(os.environ)
     env.update(REPO=REPO, CPUS=str(cpus), NPOINTS=str(n_points), REPS=str(reps),
                PYTHONPATH=REPO)
+    l0 = os.getloadavg()[0]
     out = subprocess.run([sys.executable, "-c", WORKER], capture_output=True,
                          text=True, env=env, check=True)
-    return json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+    rec = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+    rec["load_before"] = round(l0, 2)
+    rec["load_after"] = round(os.getloadavg()[0], 2)
+    return rec
 
 
 def main() -> None:
     n_points = int(sys.argv[1]) if len(sys.argv) > 1 else 6_000_000
     n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     reps = int(os.environ.get("REPS", "3"))
-    low = run_level(n_low, n_points, reps)
+    # high leg first — it needs the quiet window most (see knn_scaling.py)
     high = run_level(4 * n_low, n_points, reps)
+    low = run_level(n_low, n_points, reps)
     eff = round(low["pip_secs_best"] / high["pip_secs_best"] / 4.0, 3)
     print(json.dumps({
         "n_points": n_points,

@@ -65,6 +65,12 @@ def run_pair(tool: str, args: list[str], reps: int = 2) -> dict | None:
 def main() -> None:
     deadline = time.time() + 60 * float(sys.argv[1] if len(sys.argv) > 1 else 240)
     best = {"knn": 0.0, "pip": 0.0}
+    # best leg times ACROSS attempts: each leg's minimum approximates its
+    # uncontended time, so the cross ratio estimates quiet-window efficiency
+    # even when no single window stayed quiet for a whole pair (reported
+    # alongside, never instead of, the same-window pairs)
+    leg_best = {"knn": {}, "pip": {}}
+    secs_key = {"knn": "knn_secs_best", "pip": "pip_secs_best"}
     while time.time() < deadline and (best["knn"] < TARGET or best["pip"] < TARGET):
         l1 = load1()
         if l1 > LOAD_MAX or os.path.exists(BUSY_FLAG):
@@ -84,6 +90,19 @@ def main() -> None:
                     continue
                 rec.update(kind=kind, load_start=round(l_start, 2),
                            load_end=round(load1(), 2))
+                for leg, res in rec.items():
+                    if isinstance(res, dict) and secs_key[kind] in res:
+                        cur = leg_best[kind].get(leg)
+                        t = res[secs_key[kind]]
+                        if cur is None or t < cur:
+                            leg_best[kind][leg] = t
+                if len(leg_best[kind]) == 2:
+                    legs = sorted(
+                        leg_best[kind].items(), key=lambda kv: int(kv[0][5:])
+                    )
+                    rec["cross_best_eff"] = round(
+                        legs[0][1] / legs[1][1] / 4.0, 3
+                    )
                 append(rec)
                 eff = rec.get("scaling_efficiency", 0.0)
                 best[kind] = max(best[kind], eff)
