@@ -39,10 +39,11 @@ if cache_dir and os.path.isdir(cache_dir):
     # filter + repartition as knn_scaling: without it a cache prepped at a
     # different size mislabels n_points/throughput, and the contiguous-id
     # packing leaves the subset in 1-2 read partitions
+    nparts = int(os.environ.get("NPARTS", "0")) or max(cpus * 2, 8)
     pts = (
         spark.read.parquet(cache_dir)
         .filter(F.col("image_id") < "img%012d" % n)
-        .repartition(max(cpus * 2, 8))
+        .repartition(nparts)
         .persist()
     )
 else:
