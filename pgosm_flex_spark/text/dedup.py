@@ -141,6 +141,17 @@ def _shingles(text_col: str, k: int):
 _MAX_LONG = (1 << 63) - 1
 
 
+def _perm_consts(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a_i, b_i) for the universal-hash permutation family
+    h_i(x) = a_i·x + b_i (mod 2^64, numpy wraparound); a_i odd so each map is
+    a bijection on Z_2^64. Fixed seed ⇒ identical signatures across runs,
+    sessions, and executors (the structural-recall oracle contract)."""
+    rng = np.random.Generator(np.random.PCG64(0x5EEDC0DE))
+    a = rng.integers(0, 1 << 62, size=num_hashes, dtype=np.uint64) * 2 + 1
+    b = rng.integers(0, 1 << 63, size=num_hashes, dtype=np.uint64)
+    return a, b
+
+
 def minhash_signatures(
     documents: DataFrame,
     num_hashes: int = 64,
@@ -148,27 +159,64 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(doc_id, sig array<long>[num_hashes]) — min over shingles of
-    xxhash64(shingle, seed_i), all native exprs.
+    """(doc_id, sig array<long>[num_hashes]) — standard one-hash MinHash:
+    each shingle is hashed ONCE with native xxhash64 (JVM, inside the
+    shingle transform), and the ``num_hashes`` signature slots come from
+    cheap integer permutations a_i·h+b_i (mod 2^64) of that base hash,
+    vectorized in numpy over the compact ``array<long>`` column (Arrow
+    transfer is the base hashes, never the text).
 
-    Single fold over the shingle array (aggregate + zip_with/least): the
-    shingle expression is evaluated once per row. The naive formulation
-    ``transform(seq, i -> array_min(transform(shingles, ...)))`` re-evaluates
-    the whole shingle array num_hashes times (Catalyst does not CSE across
-    lambda bodies) — measured 30× slower.
+    Two prior formulations, both measured slower on this host:
+    ``transform(seq, i -> array_min(transform(shingles, xxhash64(s, i))))``
+    re-evaluates the shingle array num_hashes times (no CSE across lambda
+    bodies, ~30×); the single-fold ``aggregate`` + ``zip_with`` evaluates
+    shingles once but runs num_hashes interpreted xxhash64(string) calls per
+    shingle (Catalyst higher-order exprs don't codegen) — ~1.5 ms/row at 64
+    hashes, i.e. the signature stage WAS the whole LSH wall time. Hashing
+    the string once and permuting integers is also the textbook
+    construction (Broder's single-hash MinHash) and the 100 TB shape: one
+    string hash per shingle, then pure SIMD arithmetic.
+
+    When the incoming DataFrame has fewer partitions than the session's
+    parallelism (small local parquet = 1 file = 1 partition), it is
+    repartitioned so the signature stage engages every core; at scale the
+    guard no-ops (input partitions >> cores).
     """
+    from pyspark.sql.types import ArrayType
+
+    sc = documents.sparkSession.sparkContext
+    if documents.rdd.getNumPartitions() < sc.defaultParallelism:
+        documents = documents.repartition(sc.defaultParallelism)
+
     sh = _shingles(text_col, shingle_k)
-    init = F.array_repeat(F.lit(_MAX_LONG).cast("long"), num_hashes)
-    sig = F.aggregate(
-        sh,
-        init,
-        lambda acc, s: F.zip_with(
-            acc,
-            F.transform(F.sequence(F.lit(0), F.lit(num_hashes - 1)), lambda i: F.xxhash64(s, i)),
-            lambda a, b: F.least(a, b),
-        ),
-    )
-    return documents.select(F.col(id_col), sig.alias("sig"))
+    base = F.transform(sh, lambda s: F.xxhash64(s))
+    a_c, b_c = _perm_consts(num_hashes)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sig(bases: pd.Series) -> pd.Series:
+        n = len(bases)
+        out = np.full((n, num_hashes), _MAX_LONG, dtype=np.int64)
+        arrs = [
+            np.asarray(x, dtype=np.int64).view(np.uint64)
+            for x in bases
+            if x is not None and len(x)
+        ]
+        rows_nz = np.fromiter(
+            (i for i, x in enumerate(bases) if x is not None and len(x)),
+            dtype=np.int64,
+        )
+        if len(arrs):
+            flat = np.concatenate(arrs)
+            lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=len(arrs))
+            offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            res = np.empty((len(arrs), num_hashes), dtype=np.uint64)
+            for i in range(num_hashes):
+                v = flat * a_c[i] + b_c[i]  # uint64 wraparound is the modulus
+                res[:, i] = np.minimum.reduceat(v, offs)
+            out[rows_nz] = res.view(np.int64)
+        return pd.Series(list(out))
+
+    return documents.select(F.col(id_col), _sig(base).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -188,15 +236,27 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     rows = num_hashes // bands
     sigs = minhash_signatures(documents, num_hashes, shingle_k, text_col, id_col)
+    # one plain (codegen-able) struct per band, band index a literal: hashing
+    # the sig elements directly keeps the whole banding inside WholeStageCodegen.
+    # The previous formulation — transform(sequence(0, bands-1), lambda with
+    # slice + concat_ws + xxhash64) — ran interpreted (Catalyst higher-order
+    # exprs), measured ~1.5 ms/row at 64 hashes/16 bands, and the self-join
+    # below evaluates banding once per side, doubling it. Buckets are opaque
+    # join keys, so the hash-function change is semantics-free: identical
+    # signatures still land in identical buckets (the recall guarantee).
     banded = sigs.select(
         id_col,
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.concat_ws("|", F.slice("sig", b * rows + 1, rows))).alias("bucket"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("sig", b * rows + i + 1) for i in range(rows)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
