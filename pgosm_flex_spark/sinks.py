@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,8 +49,17 @@ def write_layer_table(
         df.write.mode(mode).partitionBy("cell_p").parquet(target)
     else:
         df.write.mode(mode).parquet(target)
-    # count the written frame directly: a zero-row table leaves no parquet
-    # files behind and cannot be re-read without a schema
+    if mode == "overwrite":
+        # count from the written files: parquet count() is satisfied from
+        # row-group metadata (no data read), while counting ``df`` would run
+        # the whole table pipeline a second time — at scale that doubles the
+        # export's source scans. A zero-row table leaves no parquet files
+        # behind and cannot be re-read without a schema → 0.
+        try:
+            return df.sparkSession.read.parquet(target).count()
+        except Exception:
+            return 0
+    # append: the caller wants the size of THIS increment, not the total
     return df.count()
 
 
@@ -67,9 +77,21 @@ def export_bundle(
     (docker/pgosm_flex.py:553-570): <region>-<layerset>-<date>.
     """
     os.makedirs(out_dir, exist_ok=True)
-    counts = {}
-    for name, df in sorted(tables.items()):
-        counts[name] = write_layer_table(df, out_dir, name)
+    # concurrent table writes (same pattern as the checkpointed join's unit
+    # dispatch, plans/checkpoint.py): each table's write is its own Spark
+    # job whose fixed overhead and straggler tail would otherwise serialize
+    # 45×; the scheduler interleaves the jobs' stages over the shared cached
+    # scan so small-table jobs fill the cores a big table leaves idle.
+    # Threads only drive job submission — Spark's scheduler is the actual
+    # concurrency, so a modest pool is enough.
+    names = sorted(tables)
+    with ThreadPoolExecutor(max_workers=min(8, max(1, len(names)))) as ex:
+        counts = dict(
+            zip(
+                names,
+                ex.map(lambda n: write_layer_table(tables[n], out_dir, n), names),
+            )
+        )
     manifest = {
         "bundle": f"{region.replace('/', '-')}-{layerset}-{pgosm_date}",
         "region": region,
