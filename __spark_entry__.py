@@ -356,6 +356,22 @@ def q_tags_geomtype_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.groupBy("geom_type").agg(F.count(F.lit(1)).alias("n")).orderBy("geom_type")
 
 
+def q_layer_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan layer dispatch (layers/router.py): ONE pass evaluates all
+    44 table-membership predicates per row and explodes the matches — the
+    at-scale alternative to unioning 44 per-table scans. Totals must equal
+    the per-table builders' row counts (also pinned by tests/test_router.py)."""
+    from pgosm_flex_spark.layers.router import route_layer_ids
+
+    osm = td.derived_osm_objects_mixed(spark, sf_dir)
+    routed = route_layer_ids(osm)
+    return (
+        routed.groupBy(F.col("table").alias("layer_table"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("layer_table")
+    )
+
+
 def q_road_major_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """road_major layer (major-road subset of road_line) over the original
     caption families."""
@@ -472,6 +488,55 @@ def _oracle_golden_group(entries: list[tuple[str, str, str, str, bool]]) -> str:
             FROM events)
         {body}
         ORDER BY 1, 2, 3
+    """
+
+
+def _oracle_route_counts() -> str:
+    """DuckDB twin of q_layer_route_counts: per-table totals = the golden
+    per-(type,subtype) count blocks summed per table, plus the tags/unitable
+    escape hatches (every mixed row has tags after cleaning → COUNT(*))."""
+    blocks = [
+        _golden_count_block(
+            table,
+            _GOLDEN_FAMS[
+                _GOLDEN_FAM_BY_QUERY.get(key, _GOLDEN_FAM_KEY.get(layer, layer))
+            ],
+            _GOLDEN_GEOM_SQL[geom],
+            with_subtype,
+        )
+        for key, layer, table, geom, with_subtype in _GOLDEN_TABLES
+    ]
+    # three line tables have no golden entry (their layers are value-checked
+    # by named queries on the ORIGINAL fixture): place/poi lines are plain
+    # open ways of their fam sets; road_line keeps CLOSED non-area ways and
+    # relations too (the road layer routes on the area tag, not closedness —
+    # fam 30 carries area=yes so it is road_polygon's, leaving fam 41)
+    blocks.append(
+        _golden_count_block("place_line", _GOLDEN_FAMS["place"], _GOLDEN_GEOM_SQL["line"], False)
+    )
+    blocks.append(
+        _golden_count_block("poi_line", _GOLDEN_FAMS["poi"], _GOLDEN_GEOM_SQL["line"], True)
+    )
+    blocks.append(
+        _golden_count_block(
+            "road_line", {41: ("stop", None)}, _GOLDEN_GEOM_SQL["way_or_rel"], False
+        )
+    )
+    for escape in ("tags", "unitable"):
+        blocks.append(
+            f"SELECT '{escape}' AS layer_table, 'x' AS osm_type, "
+            f"CAST(NULL AS VARCHAR) AS osm_subtype, COUNT(*) AS n FROM o"
+        )
+    body = "\n        UNION ALL\n        ".join(blocks)
+    return f"""
+        WITH o AS (
+            SELECT CAST(event_id % {td.MIXED_MOD} AS INT) AS fam,
+                   CAST(event_id % 4 AS INT) AS g,
+                   CAST(event_id % 8 AS INT) AS r8
+            FROM events)
+        SELECT layer_table, CAST(SUM(n) AS BIGINT) AS n
+        FROM ({body})
+        GROUP BY 1 ORDER BY 1
     """
 
 
@@ -818,16 +883,18 @@ def q_qc_features_not_in_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QC coverage anti-join (J3,
     /root/reference/db/qc/features_not_in_run_all.sql): tags rows that landed
     in no layer table."""
+    from pgosm_flex_spark.layers.registry import layer_table_predicates
+    from pgosm_flex_spark.layers.router import layer_membership
+
     osm = td.derived_osm_objects(spark, sf_dir)
-    tables = build_layer_tables(osm, layerset="everything")
-    all_ids = None
-    for name, df in tables.items():
-        if name in ("tags", "unitable"):
-            continue
-        ids = df.select("osm_id")
-        all_ids = ids if all_ids is None else all_ids.unionByName(ids)
-    tags_rows = tables["tags"].select("osm_id")
-    missing = tags_rows.join(all_ids.distinct(), "osm_id", "left_anti")
+    # single-scan formulation: the old shape unioned 42 per-table id frames
+    # (42 source scans) into a distinct + anti-join; membership is a pure
+    # row predicate, so "tags rows in no layer" is one filter over one scan
+    # (equivalence with the unioned tables is pinned by tests/test_router.py)
+    tags_pred = layer_table_predicates()["tags"]
+    missing = osm.filter(
+        tags_pred & ~layer_membership(osm, exclude=("tags", "unitable"))
+    )
     return missing.select(F.col("osm_id").alias("event_id")).orderBy("event_id")
 
 
@@ -1030,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "road_type_counts": q_road_type_counts,
         "road_major_counts": q_road_major_counts,
         "tags_geomtype_counts": q_tags_geomtype_counts,
+        "layer_route_counts": q_layer_route_counts,
         "road_line_aggregates": q_road_line_aggregates,
         "place_type_counts": q_place_type_counts,
         "poi_type_subtype_counts": q_poi_type_subtype_counts,
@@ -1680,6 +1748,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_oracle_docs())
     out.update(_oracle_routing())
     out.update(_oracle_golden())
+    out["layer_route_counts"] = _oracle_route_counts()
     out["qc_tag_suggestions"] = _oracle_qc_suggestions()
     out["stream_first_seen"] = """
         SELECT CAST(event_id % 97 AS BIGINT) AS phash,

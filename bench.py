@@ -136,6 +136,14 @@ def main() -> None:
     # plan analysis of the 44-way union happens once (as in a real import);
     # the timed part is the mapping execution over the cached scan
     timed("q_layer_mapping", lambda: layer_ids.count())
+
+    # same dispatch, single-scan formulation (layers/router.py): all 44
+    # membership predicates evaluate in ONE pass per row instead of one
+    # cached scan per table — the shape the 100 TB import wants
+    from pgosm_flex_spark.layers.router import route_layer_ids
+
+    routed = route_layer_ids(osm_like)
+    timed("q_layer_route", lambda: routed.count())
     osm_like.unpersist()
 
     # ---- kNN: adaptive multi-resolution (hot-cell skew: 30% of features in

@@ -669,11 +669,11 @@ _TRAFFIC_HIGHWAY = [
 _TRAFFIC_AMENITY = ["fuel", "parking", "bicycle_parking"]
 
 
-def build_traffic(osm: DataFrame) -> dict[str, DataFrame]:
+_TRAFFIC_FIRST_LEVEL_KEYS = ["highway", "railway", "barrier", "traffic_calming", "amenity", "noexit"]
+
+
+def _traffic_cols(df: DataFrame) -> tuple[dict[str, Column], Column]:
     t = F.col("tags")
-    f = osm.filter(
-        sc.has_any_key(t, ["highway", "railway", "barrier", "traffic_calming", "amenity", "noexit"])
-    )
     osm_type = (
         F.when(T(t, "highway").isin(_TRAFFIC_HIGHWAY), T(t, "highway"))
         .when(T(t, "railway") == "level_crossing", F.lit("crossing"))
@@ -691,7 +691,13 @@ def build_traffic(osm: DataFrame) -> dict[str, DataFrame]:
         .when(T(t, "amenity").isin(_TRAFFIC_AMENITY), T(t, "amenity"))
         .otherwise(F.lit(None).cast("string"))
     )
-    cols = {"osm_type": osm_type, "osm_subtype": osm_subtype}
+    return {"osm_type": osm_type, "osm_subtype": osm_subtype}, osm_type
+
+
+def build_traffic(osm: DataFrame) -> dict[str, DataFrame]:
+    t = F.col("tags")
+    f = osm.filter(sc.has_any_key(t, _TRAFFIC_FIRST_LEVEL_KEYS))
+    cols, osm_type = _traffic_cols(f)
     f = f.filter(osm_type.isNotNull())
     # nodes and ways only — traffic.lua defines no relation handler
     # (traffic.lua:266-292 registers process_node/process_way exclusively);
@@ -852,3 +858,112 @@ def build_layer_tables(osm: DataFrame, layerset: str = "everything") -> dict[str
         for name, df in LAYER_BUILDERS[layer](osm).items():
             out[name] = df
     return out
+
+
+# ---------------------------------------------------------------------------
+# per-table membership predicates — the single-scan dispatch surface
+# (layers/router.py). Each predicate is the conjunction of the same filter
+# pieces its LAYER_BUILDERS twin chains through DataFrame.filter calls
+# (Catalyst collapses chained filters to the same conjunction), built from
+# the SAME helper functions so the logic lives once. Lockstep with the
+# builders is enforced by tests/test_router.py: per-table id-set equality
+# on a fixture covering every geometry variant.
+# ---------------------------------------------------------------------------
+
+def layer_table_predicates(layerset: str = "everything") -> dict[str, Column]:
+    """table name → boolean membership Column (unbound; evaluate against any
+    frame with the osm-objects schema). NULL predicates count as non-members,
+    matching ``DataFrame.filter`` three-valued semantics."""
+    t = F.col("tags")
+    node, way, rel = _is_node(None), _is_way(None), _is_rel(None)
+    closed = _closed(None)
+    way_open = way & ~closed
+    way_closed = way & closed
+    poly_std = way_closed | (rel & _rel_is_poly(None))
+
+    p: dict[str, Column] = {}
+
+    place = _place_filter(None)
+    p["place_point"] = place & node
+    p["place_line"] = place & way_open
+    p["place_polygon"] = place & (way_closed | rel)
+
+    road = T(t, "highway").isNotNull()
+    road_wr = road & (way | rel)
+    area = _road_is_area(None)
+    p["road_point"] = road & node
+    p["road_line"] = road_wr & ~area
+    p["road_polygon"] = road_wr & area
+    p["road_major"] = p["road_line"] & sc.major_road(T(t, "highway"))
+
+    poi = _poi_filter(None)
+    p["poi_point"] = poi & node
+    p["poi_line"] = poi & way_open
+    p["poi_polygon"] = poi & poly_std
+
+    building = _building_filter(None)
+    p["building_point"] = building & node
+    p["building_polygon"] = building & poly_std
+
+    water = T(t, "natural").isin(WATER_NATURAL_VALUES) | T(t, "waterway").isNotNull()
+    p["water_point"] = water & node
+    p["water_line"] = water & way_open
+    p["water_polygon"] = water & poly_std
+
+    amenity = sc.has_any_key(t, ["amenity", "bench", "brewery"]) & _amenity_cols(None)[
+        "osm_type"
+    ].isNotNull()
+    p["amenity_point"] = amenity & node
+    p["amenity_line"] = amenity & way_open
+    p["amenity_polygon"] = amenity & poly_std
+
+    shop = sc.has_any_key(t, ["shop", "amenity"]) & _shop_cols(None)["osm_type"].isNotNull()
+    p["shop_point"] = shop & node
+    p["shop_polygon"] = shop & poly_std
+
+    for key, prefix in (("landuse", "landuse"), ("leisure", "leisure")):
+        single = T(t, key).isNotNull()
+        p[f"{prefix}_point"] = single & node
+        p[f"{prefix}_polygon"] = single & poly_std
+
+    natural = T(t, "natural").isNotNull() & ~T(t, "natural").isin(WATER_NATURAL_VALUES)
+    p["natural_point"] = natural & node
+    p["natural_line"] = natural & way_open
+    p["natural_polygon"] = natural & poly_std
+
+    indoor = sc.has_any_key(t, ["indoor", "door", "entrance"])
+    p["indoor_point"] = indoor & node
+    p["indoor_line"] = indoor & way_open
+    p["indoor_polygon"] = indoor & poly_std
+
+    infra = sc.has_any_key(t, INFRASTRUCTURE_KEYS) & _infrastructure_cols(None)[1]
+    p["infrastructure_point"] = infra & node
+    p["infrastructure_line"] = infra & way_open
+    p["infrastructure_polygon"] = infra & poly_std
+
+    pt = sc.has_any_key(t, ["public_transport", "aerialway", "railway"])
+    p["public_transport_point"] = pt & node
+    p["public_transport_line"] = pt & way_open
+    p["public_transport_polygon"] = pt & poly_std
+
+    traffic_type = _traffic_cols(None)[1]
+    traffic = sc.has_any_key(t, _TRAFFIC_FIRST_LEVEL_KEYS) & traffic_type.isNotNull()
+    p["traffic_point"] = traffic & node
+    p["traffic_line"] = traffic & way_open
+    p["traffic_polygon"] = traffic & way_closed & (traffic_type != "noexit")
+
+    has_tags = tagf.has_tags_after_clean(t)
+    p["tags"] = has_tags
+    p["unitable"] = has_tags
+
+    for base_layer in ("building", "poi", "shop"):
+        p[f"{base_layer}_combined_point"] = (
+            p[f"{base_layer}_point"] | p[f"{base_layer}_polygon"]
+        )
+
+    wanted = {
+        name
+        for layer in layerset_layers(layerset)
+        for name, _kind in _LAYER_TABLES[layer]
+    }
+    return {name: pred for name, pred in p.items() if name in wanted}
