@@ -231,3 +231,37 @@ def test_video_frame_sampling_feeds_image_ops(spark):
     )
     assert feats.count() == exp
     assert len(feats.first()["features"]) == 48
+
+
+def test_audio_stats_degenerate_rows_fail_per_row(spark):
+    """Zero-length PCM and sr=0 payloads are VALID containers but degenerate
+    decodes: each must come back decode_ok=False without poisoning the rest
+    of the Arrow batch (the vectorized stats once crashed on a zero-size
+    reduction here), and healthy rows in the same batch keep exact stats."""
+    import numpy as np
+    import pandas as pd
+
+    from pgosm_flex_spark.images import codec
+    from pgosm_flex_spark.images import ops as img_ops
+
+    good = codec.synth_audio(1, sample_rate=8000, seconds=0.25)
+    rows = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "audio_id": ["empty_pcm", "zero_sr", "not_audio", "good"],
+                "bytes": [
+                    codec.encode_audio(np.zeros(0, dtype=np.int16), 8000),
+                    codec.encode_audio(good, 0),
+                    b"garbage-not-a-container",
+                    codec.encode_audio(good, 8000),
+                ],
+            }
+        )
+    ).repartition(1)  # one Arrow batch: the degenerate rows share it
+    got = img_ops.audio_stats(rows).toPandas().set_index("audio_id")
+    assert not got.loc["empty_pcm", "decode_ok"]
+    assert not got.loc["zero_sr", "decode_ok"]
+    assert not got.loc["not_audio", "decode_ok"]
+    r = got.loc["good"]
+    assert r["decode_ok"] and r["n_samples"] == len(good)
+    assert r["rms"] == np.sqrt((good.astype(np.float64) ** 2).mean())
