@@ -46,6 +46,12 @@ def main() -> int:
     p.add_argument("--force", action="store_true")
     p.add_argument("--skip-nested", action="store_true")
     p.add_argument("--cpus", type=int, default=None)
+    p.add_argument(
+        "--routed-export",
+        action="store_true",
+        help="export via the single-scan router (one source pass writes all "
+        "tables partitioned by layer_table) instead of one write per table",
+    )
     args = p.parse_args()
 
     from pgosm_flex_spark import __version__, fixtures
@@ -182,11 +188,26 @@ def main() -> int:
         )
     mark("pip_join_checkpointed")
 
-    # 6. export bundle
-    manifest = export_bundle(
-        spark, tables, args.out, region=args.region,
-        layerset=args.layerset, pgosm_date=args.date,
-    )
+    # 6. export bundle — routed mode writes every raw layer table in ONE
+    # source scan (layers/router.py); post-processed tables (deduped
+    # place_polygon, derived nested) go through as overrides either way
+    if args.routed_export:
+        from pgosm_flex_spark.sinks import export_bundle_routed
+
+        overrides = {
+            n: tables[n]
+            for n in ("place_polygon", "place_polygon_nested")
+            if n in tables
+        }
+        manifest = export_bundle_routed(
+            spark, osm, args.out, region=args.region,
+            layerset=args.layerset, pgosm_date=args.date, overrides=overrides,
+        )
+    else:
+        manifest = export_bundle(
+            spark, tables, args.out, region=args.region,
+            layerset=args.layerset, pgosm_date=args.date,
+        )
     mark("export_bundle")
     manifest["pip_units"] = {
         "total": len(pair_metrics),

@@ -524,10 +524,9 @@ def build_natural(osm: DataFrame) -> dict[str, DataFrame]:
 # indoor (/root/reference/flex-config/style/indoor.lua:60-130)
 # ---------------------------------------------------------------------------
 
-def build_indoor(osm: DataFrame) -> dict[str, DataFrame]:
+def _indoor_cols(df: DataFrame) -> dict[str, Column]:
     t = F.col("tags")
-    f = osm.filter(sc.has_any_key(t, ["indoor", "door", "entrance"]))
-    cols = {
+    return {
         "osm_type": (
             F.when(T(t, "indoor").isNotNull(), T(t, "indoor"))
             .when(T(t, "door").isNotNull(), F.lit("door"))
@@ -543,6 +542,12 @@ def build_indoor(osm: DataFrame) -> dict[str, DataFrame]:
         "capacity": T(t, "capacity"),
         "highway": T(t, "highway"),
     }
+
+
+def build_indoor(osm: DataFrame) -> dict[str, DataFrame]:
+    t = F.col("tags")
+    f = osm.filter(sc.has_any_key(t, ["indoor", "door", "entrance"]))
+    cols = _indoor_cols(f)
     return {
         "indoor_point": _project(f.filter(_is_node(f)), cols),
         "indoor_line": _project(f.filter(_is_way(f) & ~_closed(f)), cols),
@@ -624,9 +629,8 @@ def build_infrastructure(osm: DataFrame) -> dict[str, DataFrame]:
 # public_transport (/root/reference/flex-config/style/public_transport.lua:92-135)
 # ---------------------------------------------------------------------------
 
-def build_public_transport(osm: DataFrame) -> dict[str, DataFrame]:
+def _public_transport_cols(df: DataFrame) -> dict[str, Column]:
     t = F.col("tags")
-    f = osm.filter(sc.has_any_key(t, ["public_transport", "aerialway", "railway"]))
     pairs = [("bus", "bus"), ("railway", "railway"), ("lightrail", "lightrail"),
              ("train", "train"), ("aerialway", "aerialway"), ("highway", "highway")]
     osm_type: Column = F.coalesce(T(t, "public_transport"), F.lit("unknown"))
@@ -634,7 +638,7 @@ def build_public_transport(osm: DataFrame) -> dict[str, DataFrame]:
     for label, key in reversed(pairs):
         osm_type = F.when(T(t, key).isNotNull(), F.lit(label)).otherwise(osm_type)
         osm_subtype = F.when(T(t, key).isNotNull(), T(t, key)).otherwise(osm_subtype)
-    cols = {
+    return {
         "osm_type": osm_type,
         "osm_subtype": osm_subtype,
         "name": sc.get_name(t),
@@ -647,6 +651,12 @@ def build_public_transport(osm: DataFrame) -> dict[str, DataFrame]:
         "wheelchair": T(t, "wheelchair"),
         "wheelchair_desc": sc.get_wheelchair_desc(t),
     }
+
+
+def build_public_transport(osm: DataFrame) -> dict[str, DataFrame]:
+    t = F.col("tags")
+    f = osm.filter(sc.has_any_key(t, ["public_transport", "aerialway", "railway"]))
+    cols = _public_transport_cols(f)
     return {
         "public_transport_point": _project(f.filter(_is_node(f)), cols),
         "public_transport_line": _project(f.filter(_is_way(f) & ~_closed(f)), cols),
@@ -967,3 +977,132 @@ def layer_table_predicates(layerset: str = "everything") -> dict[str, Column]:
         for name, _kind in _LAYER_TABLES[layer]
     }
     return {name: pred for name, pred in p.items() if name in wanted}
+
+
+def layer_table_columns(layerset: str = "everything") -> dict[str, dict[str, Column]]:
+    """table name → its FULL output projection as named Column exprs, in the
+    builders' column order (base cols, member_ids for polygon tables, then
+    the layer's derived columns) — the second half of the spec surface that
+    ``layer_table_predicates`` starts: together they let a consumer rebuild
+    any table as ``osm.filter(pred).select(cols)`` or fuse ALL tables into
+    one routed pass (layers/router.py:route_layer_rows). Reuses the same
+    ``_*_cols`` helpers the builders call, so the exprs cannot drift; output
+    equality with the builders is pinned by tests/test_router.py."""
+    t = F.col("tags")
+
+    def full(extra: dict[str, Column], with_members: bool = False) -> dict[str, Column]:
+        out: dict[str, Column] = {c: F.col(c) for c in _BASE_COLS}
+        if with_members:
+            out["member_ids"] = F.col("member_ids")
+        out.update(extra)
+        return out
+
+    cols: dict[str, dict[str, Column]] = {}
+
+    place = _place_cols(None)
+    cols["place_point"] = full(place)
+    cols["place_line"] = full(place)
+    cols["place_polygon"] = full(place, with_members=True)
+
+    road_point = {**_road_common(t), "oneway": sc.parse_oneway(T(t, "oneway"))}
+    road_line = {**road_point, **_road_routable(t)}
+    road_poly = {**_road_common(t), **_road_routable(t)}
+    cols["road_point"] = full(road_point)
+    cols["road_line"] = full(road_line, with_members=True)
+    cols["road_polygon"] = full(road_poly, with_members=True)
+    cols["road_major"] = full(road_line, with_members=True)
+
+    poi = _poi_cols(None)
+    cols["poi_point"] = full(poi)
+    cols["poi_line"] = full(poi)
+    cols["poi_polygon"] = full(poi, with_members=True)
+
+    building = _building_cols(None)
+    cols["building_point"] = full(building)
+    cols["building_polygon"] = full(building, with_members=True)
+
+    water = _water_cols(None)
+    cols["water_point"] = full(water)
+    cols["water_line"] = full(water)
+    cols["water_polygon"] = full(water, with_members=True)
+
+    amenity = _amenity_cols(None)
+    cols["amenity_point"] = full(amenity)
+    cols["amenity_line"] = full(amenity)
+    cols["amenity_polygon"] = full(amenity, with_members=True)
+
+    shop = _shop_cols(None)
+    cols["shop_point"] = full(shop)
+    cols["shop_polygon"] = full(shop, with_members=True)
+
+    for key, prefix in (("landuse", "landuse"), ("leisure", "leisure")):
+        single = {"osm_type": T(t, key), "name": sc.get_name(t)}
+        cols[f"{prefix}_point"] = full(single)
+        cols[f"{prefix}_polygon"] = full(single, with_members=True)
+
+    natural = {
+        "osm_type": T(t, "natural"),
+        "name": sc.get_name(t),
+        "ele": sc.parse_to_meters(T(t, "ele")),
+    }
+    cols["natural_point"] = full(natural)
+    cols["natural_line"] = full(natural)
+    cols["natural_polygon"] = full(natural, with_members=True)
+
+    indoor = _indoor_cols(None)
+    cols["indoor_point"] = full(indoor)
+    cols["indoor_line"] = full(indoor)
+    cols["indoor_polygon"] = full(indoor, with_members=True)
+
+    infra = _infrastructure_cols(None)[0]
+    cols["infrastructure_point"] = full(infra)
+    cols["infrastructure_line"] = full(infra)
+    cols["infrastructure_polygon"] = full(infra, with_members=True)
+
+    pt_cols = _public_transport_cols(None)
+    cols["public_transport_point"] = full(pt_cols)
+    cols["public_transport_line"] = full(pt_cols)
+    cols["public_transport_polygon"] = full(pt_cols, with_members=True)
+
+    traffic = _traffic_cols(None)[0]
+    cols["traffic_point"] = full(traffic)
+    cols["traffic_line"] = full(traffic)
+    cols["traffic_polygon"] = full(traffic, with_members=True)
+
+    cols["tags"] = {
+        "osm_id": F.col("osm_id"),
+        "geom_type": F.col("geom_type"),
+        "tags": tagf.clean_tags(t),
+        "osm_url": sc.osm_url(F.col("geom_type"), F.col("osm_id")),
+    }
+    cols["unitable"] = {
+        "osm_id": F.col("osm_id"),
+        "geom_type": F.col("geom_type"),
+        "lon": F.col("lon"),
+        "lat": F.col("lat"),
+        "geom_wkb": F.col("geom_wkb"),
+        "tags": tagf.clean_tags(t),
+    }
+
+    preds = layer_table_predicates()
+    for base_layer, base_cols in (
+        ("building", building), ("poi", poi), ("shop", shop)
+    ):
+        # combined tables union point rows + polygon rows (centroid collapse
+        # happens downstream); unionByName(allowMissingColumns) puts the
+        # polygon-only member_ids last and marks provenance in geom_src
+        c = full(base_cols)
+        c["geom_src"] = F.when(preds[f"{base_layer}_point"], F.lit("point")).otherwise(
+            F.lit("polygon")
+        )
+        c["member_ids"] = F.when(
+            preds[f"{base_layer}_polygon"], F.col("member_ids")
+        ).otherwise(F.lit(None).cast("array<bigint>"))
+        cols[f"{base_layer}_combined_point"] = c
+
+    wanted = {
+        name
+        for layer in layerset_layers(layerset)
+        for name, _kind in _LAYER_TABLES[layer]
+    }
+    return {name: c for name, c in cols.items() if name in wanted}

@@ -58,3 +58,64 @@ def layer_membership(
             continue
         out = out | F.coalesce(pred, F.lit(False))
     return out
+
+
+def route_layer_rows(osm: DataFrame, layerset: str = "everything") -> DataFrame:
+    """ONE scan of ``osm`` → every table's FULL output rows, stacked on a
+    superset schema with a ``layer_table`` discriminator — the fused form of
+    the whole dispatch stage: where ``build_layer_tables`` + per-table writes
+    scan the source once per table (45 passes at 100 TB), this evaluates all
+    membership predicates AND all projections in one whole-stage-codegen
+    pass. Write it ``partitionBy("layer_table")`` (sinks.export_bundle_routed)
+    and each table is a partition-pruned, column-pruned slice with its exact
+    builder schema (``read_layer_table``); absent columns are typed NULLs
+    that parquet stores for free.
+
+    Column derivation: per superset column, one CASE over the tables that
+    define it, grouped by identical expression text — most columns collapse
+    to one or two branches (e.g. ``name`` is the same expr for every layer),
+    so the projection stays compact. Row-level equality with every builder
+    table is pinned by tests/test_router.py.
+    """
+    preds = layer_table_predicates(layerset)
+    from pgosm_flex_spark.layers.registry import layer_table_columns
+
+    cols = layer_table_columns(layerset)
+    names = sorted(preds)
+    routes = F.array(*[F.when(preds[n], F.lit(n)) for n in names])
+    routed = osm.select("*", F.explode(F.array_compact(routes)).alias("layer_table"))
+
+    superset: list[str] = []
+    for n in names:
+        for c in cols[n]:
+            if c not in superset:
+                superset.append(c)
+
+    out_cols = [F.col("layer_table")]
+    for c in superset:
+        by_expr: dict[str, tuple[list[str], object]] = {}
+        for n in names:
+            e = cols[n].get(c)
+            if e is not None:
+                key = str(e)
+                by_expr.setdefault(key, ([], e))[0].append(n)
+        expr = None
+        for tbls, e in by_expr.values():
+            cond = F.col("layer_table").isin(tbls)
+            expr = F.when(cond, e) if expr is None else expr.when(cond, e)
+        out_cols.append(expr.alias(c))
+    return routed.select(*out_cols)
+
+
+def read_layer_table(spark, routed_dir: str, name: str, layerset: str = "everything"):
+    """Reconstruct one table from a routed-parquet bundle: partition-pruned
+    scan + the table's exact builder column set (schema parity with
+    build_layer_tables output)."""
+    from pgosm_flex_spark.layers.registry import layer_table_columns
+
+    cols = layer_table_columns(layerset)[name]
+    return (
+        spark.read.parquet(routed_dir)
+        .filter(F.col("layer_table") == name)
+        .select(*cols.keys())
+    )

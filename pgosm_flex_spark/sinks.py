@@ -106,6 +106,89 @@ def export_bundle(
     return manifest
 
 
+def export_bundle_routed(
+    spark: SparkSession,
+    osm: DataFrame,
+    out_dir: str,
+    region: str,
+    layerset: str,
+    pgosm_date: str,
+    cell_res: int = 8,
+    overrides: dict[str, DataFrame] | None = None,
+) -> dict:
+    """Single-pass export: ONE scan of ``osm`` writes every layer table.
+
+    Where :func:`export_bundle` runs one write job per table (45 jobs whose
+    source scans the cached ``osm`` 45×), this routes every row through
+    layers/router.py:route_layer_rows — all membership predicates and all
+    projections evaluate in one whole-stage-codegen pass — and writes the
+    superset partitioned by ``(layer_table, cell_p)``. Each table is then a
+    partition-pruned, column-pruned slice (read it back via
+    router.read_layer_table). At 100 TB this turns the export stage from
+    45 source scans into 1.
+
+    ``overrides``: tables whose export rows are NOT the raw builder output
+    (e.g. place_polygon after relation_member_dedup, or the derived
+    place_polygon_nested) — these write conventionally via
+    :func:`write_layer_table` into per-table subdirs, and the routed stream
+    drops its raw slice for any overridden table so the bundle never holds
+    two versions of one table.
+
+    Manifest shape matches :func:`export_bundle` (plus ``routed: True``);
+    per-table counts come from the written parquet's partition/metadata
+    (no second pipeline execution), zero-row tables are listed with 0.
+    """
+    from pgosm_flex_spark.layers.registry import layer_table_columns
+    from pgosm_flex_spark.layers.router import route_layer_rows
+
+    os.makedirs(out_dir, exist_ok=True)
+    overrides = overrides or {}
+    expected = list(layer_table_columns(layerset))
+
+    routed = route_layer_rows(osm, layerset=layerset)
+    if overrides:
+        keep = [n for n in expected if n not in overrides]
+        routed = routed.filter(F.col("layer_table").isin(keep))
+    routed = routed.withColumn(
+        "cell_p",
+        F.when(
+            F.col("lon").isNotNull(),
+            cells.cell_col(F.col("lon"), F.col("lat"), cell_res),
+        ).otherwise(F.lit(-1)),
+    )
+    target = os.path.join(out_dir, "routed")
+    routed.write.mode("overwrite").partitionBy("layer_table", "cell_p").parquet(
+        target
+    )
+
+    # counts from the written files: layer_table is a partition column, so
+    # this group-count is satisfied from directory metadata + row-group
+    # footers, not a re-run of the routing pipeline
+    counts = {n: 0 for n in expected}
+    for r in (
+        spark.read.parquet(target).groupBy("layer_table").count().collect()
+    ):
+        counts[r["layer_table"]] = r["count"]
+    for name in sorted(overrides):
+        counts[name] = write_layer_table(
+            overrides[name], out_dir, name, cell_res=cell_res
+        )
+
+    manifest = {
+        "bundle": f"{region.replace('/', '-')}-{layerset}-{pgosm_date}",
+        "region": region,
+        "layerset": layerset,
+        "pgosm_date": pgosm_date,
+        "engine_version": __version__,
+        "srid_convention": "EPSG:4326 coordinates; web-mercator cell/tile grid",
+        "routed": True,
+        "tables": counts,
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

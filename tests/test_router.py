@@ -83,3 +83,53 @@ def test_route_extra_cols(osm):
     routed = route_layer_ids(osm, extra_cols=["geom_type"])
     row = routed.filter(F.col("table") == "place_point").first()
     assert row is not None and row["geom_type"] == "N"
+
+
+def _comparable(df):
+    """Map columns don't support set ops: normalize to sorted entry arrays."""
+    out = df
+    for f in df.schema.fields:
+        if f.dataType.typeName() == "map":
+            out = out.withColumn(f.name, F.array_sort(F.map_entries(f.name)))
+    return out
+
+
+def test_route_layer_rows_equals_builders(spark, osm):
+    """Row-LEVEL equality (full projections, not just ids): every table's
+    routed slice must match the builder output exactly."""
+    from pgosm_flex_spark.layers.router import route_layer_rows
+
+    tables = build_layer_tables(osm, layerset="everything")
+    routed = route_layer_rows(osm).cache()
+    try:
+        for name, df in sorted(tables.items()):
+            mine = _comparable(
+                routed.filter(F.col("layer_table") == name).select(*df.columns)
+            )
+            want = _comparable(df)
+            # CASE-wrapping in the router makes Catalyst lose non-null
+            # provability, so compare names+types; value equality below
+            # covers nulls exactly.
+            assert [(f.name, f.dataType) for f in mine.schema.fields] == [
+                (f.name, f.dataType) for f in want.schema.fields
+            ], name
+            extra = mine.exceptAll(want).count()
+            missing = want.exceptAll(mine).count()
+            assert (extra, missing) == (0, 0), f"{name}: +{extra} -{missing} rows vs builder"
+    finally:
+        routed.unpersist()
+
+
+def test_routed_bundle_roundtrip(spark, osm, tmp_path):
+    """Write the routed superset partitioned by layer_table; read one table
+    back through read_layer_table — schema and rows must match the builder."""
+    from pgosm_flex_spark.layers.router import read_layer_table, route_layer_rows
+
+    target = str(tmp_path / "routed")
+    route_layer_rows(osm).write.mode("overwrite").partitionBy("layer_table").parquet(target)
+    for name in ("road_line", "place_polygon", "tags"):
+        got = _comparable(read_layer_table(spark, target, name))
+        want = _comparable(build_layer_tables(osm)[name])
+        assert [f.name for f in got.schema.fields] == [f.name for f in want.schema.fields]
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0

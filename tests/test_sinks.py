@@ -187,3 +187,49 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.sql("DROP TABLE IF EXISTS b_pts")
         spark.sql("DROP TABLE IF EXISTS b_feats")
+
+
+def test_export_bundle_routed_parity(spark, tmp_path):
+    """Single-scan routed export must produce the same bundle as the
+    per-table export: identical per-table counts in the manifest, identical
+    rows for a routed table read back via read_layer_table, and the
+    override table (post-processed outside the router) written to its own
+    subdir exactly as export_bundle would."""
+    from pgosm_flex_spark.layers.router import read_layer_table
+    from pgosm_flex_spark.sinks import export_bundle_routed
+
+    osm = fixtures.osm_objects_df(spark)
+    tables = build_layer_tables(osm, layerset="minimal")
+    per_table = export_bundle(
+        spark, tables, str(tmp_path / "classic"), region="dc",
+        layerset="minimal", pgosm_date="2026-01-01",
+    )
+    routed = export_bundle_routed(
+        spark, osm, str(tmp_path / "routed"), region="dc",
+        layerset="minimal", pgosm_date="2026-01-01",
+        overrides={"place_polygon": tables["place_polygon"]},
+    )
+    assert routed["routed"] is True
+    assert routed["tables"] == per_table["tables"]
+
+    back = read_layer_table(
+        spark, str(tmp_path / "routed" / "routed"), "road_major",
+        layerset="minimal",
+    )
+    want = tables["road_major"]
+    assert [f.name for f in back.schema.fields] == [
+        f.name for f in want.schema.fields
+    ]
+    assert back.exceptAll(want).count() == 0
+    assert want.exceptAll(back).count() == 0
+
+    # override slice must NOT appear in the routed stream...
+    routed_tables = {
+        r["layer_table"]
+        for r in spark.read.parquet(str(tmp_path / "routed" / "routed"))
+        .select("layer_table").distinct().collect()
+    }
+    assert "place_polygon" not in routed_tables
+    # ...and its subdir write matches the classic layout
+    pp = spark.read.parquet(str(tmp_path / "routed" / "place_polygon"))
+    assert pp.count() == per_table["tables"]["place_polygon"]
