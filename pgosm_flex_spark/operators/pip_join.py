@@ -147,7 +147,7 @@ def pip_join(
         # to skip this job (the checkpointed unit loop does)
         res_levels = sorted(
             r["res"] for r in cover.select(
-                F.shiftright("cell", 58).alias("res")).distinct().collect()
+                cells.cell_res_col(F.col("cell")).alias("res")).distinct().collect()
         )
     else:
         res_levels = sorted(set(res_levels))
@@ -164,10 +164,11 @@ def pip_join(
     for res in res_levels:
         shift = fine_res - res
         ancestors.append(
-            F.lit(res).cast("long") * F.lit(1 << 58).cast("long")
-            + F.shiftright(cells.cell_x_col(F.col("__fine_cell")), shift).cast("long")
-            * F.lit(1 << 29).cast("long")
-            + F.shiftright(cells.cell_y_col(F.col("__fine_cell")), shift).cast("long")
+            cells.pack_col(
+                res,
+                F.shiftright(cells.cell_x_col(F.col("__fine_cell")), shift),
+                F.shiftright(cells.cell_y_col(F.col("__fine_cell")), shift),
+            )
         )
     pts = pts.withColumn("__cell", F.explode(F.array(*ancestors)))
 

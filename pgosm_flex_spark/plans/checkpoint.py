@@ -190,7 +190,7 @@ def checkpointed_pip_join(
     # would otherwise each run a collect job just to rediscover them
     levels = sorted(
         r["res"] for r in cover.select(
-            F.shiftright("cell", 58).alias("res")).distinct().collect()
+            cells.cell_res_col(F.col("cell")).alias("res")).distinct().collect()
     )
 
     def process(unit: str) -> dict:

@@ -115,6 +115,7 @@ def export_bundle_routed(
     pgosm_date: str,
     cell_res: int = 8,
     overrides: dict[str, DataFrame] | None = None,
+    files_per_partition: int | None = 4,
 ) -> dict:
     """Single-pass export: ONE scan of ``osm`` writes every layer table.
 
@@ -133,6 +134,15 @@ def export_bundle_routed(
     :func:`write_layer_table` into per-table subdirs, and the routed stream
     drops its raw slice for any overridden table so the bundle never holds
     two versions of one table.
+
+    ``files_per_partition``: without it, a dynamic-partition write emits one
+    file per (task × partition dir it touches) — at 10^3 tasks × 45 tables ×
+    many cells that is a small-file explosion no metastore enjoys. Setting it
+    adds ONE clustering shuffle keyed (layer_table, cell_p, salt<k) so each
+    partition dir receives at most k files, with hot (table, cell) dirs still
+    spread over k writers (the salt bounds skew the way pip_join's salted
+    fallback does). One shuffle traded against 45 source scans is the same
+    bargain the router itself makes. ``None`` disables (tiny inputs/tests).
 
     Manifest shape matches :func:`export_bundle` (plus ``routed: True``);
     per-table counts come from the written parquet's partition/metadata
@@ -157,6 +167,12 @@ def export_bundle_routed(
         ).otherwise(F.lit(-1)),
     )
     target = os.path.join(out_dir, "routed")
+    if files_per_partition:
+        routed = routed.repartition(
+            F.col("layer_table"),
+            F.col("cell_p"),
+            F.pmod(F.xxhash64(F.col("osm_id")), F.lit(files_per_partition)),
+        )
     routed.write.mode("overwrite").partitionBy("layer_table", "cell_p").parquet(
         target
     )

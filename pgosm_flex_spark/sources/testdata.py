@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pgosm_flex_spark.geometry import wkb
+from pgosm_flex_spark.index import cells
 
 LON0, LAT0 = -77.12, 38.79
 LON_SPAN, LAT_SPAN = 0.22, 0.21
@@ -97,8 +98,8 @@ def cell_id_sql(lon: str, lat: str, res: int) -> str:
         f" * {n}), 0), {nmax})"
     )
     return (
-        f"(cast({res} as bigint) * cast({1 << 58} as bigint)"
-        f" + cast({x} as bigint) * cast({1 << 29} as bigint)"
+        f"(cast({res} as bigint) * cast({1 << cells._RES_SHIFT} as bigint)"
+        f" + cast({x} as bigint) * cast({1 << cells._X_SHIFT} as bigint)"
         f" + cast({y} as bigint))"
     )
 

@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import json
+import os
 
 import pandas as pd
 from pyspark.sql import functions as F
@@ -233,3 +234,12 @@ def test_export_bundle_routed_parity(spark, tmp_path):
     # ...and its subdir write matches the classic layout
     pp = spark.read.parquet(str(tmp_path / "routed" / "place_polygon"))
     assert pp.count() == per_table["tables"]["place_polygon"]
+
+    # output clustering: the salted repartition bounds files per partition
+    # dir at files_per_partition (default 4) — without it a dynamic write
+    # emits one file per task × dir (small-file explosion at scale)
+    import glob
+
+    for d in glob.glob(str(tmp_path / "routed" / "routed" / "layer_table=*/cell_p=*")):
+        n_files = len(glob.glob(os.path.join(d, "*.parquet")))
+        assert 1 <= n_files <= 4, f"{d}: {n_files} files"
