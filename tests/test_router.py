@@ -57,6 +57,18 @@ def test_router_single_scan_plan(osm):
     assert uplan.count("InMemoryTableScan") > 40
 
 
+def test_route_layer_rows_single_scan_no_exchange(osm):
+    """The full-row router must keep the one-pass property: one source scan,
+    zero shuffles — the 45 predicates AND 45 projections all evaluate in the
+    scan's own pipeline (the clustering shuffle is added only by the export
+    sink, not here)."""
+    from pgosm_flex_spark.layers.router import route_layer_rows
+
+    plan = route_layer_rows(osm)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") == 1, plan[:2000]
+    assert "Exchange" not in plan, plan[:2000]
+
+
 def test_layerset_subsets(spark, osm):
     preds = layer_table_predicates("minimal")
     wanted = {
