@@ -181,10 +181,15 @@ def export_bundle_routed(
     # this group-count is satisfied from directory metadata + row-group
     # footers, not a re-run of the routing pipeline
     counts = {n: 0 for n in expected}
-    for r in (
-        spark.read.parquet(target).groupBy("layer_table").count().collect()
-    ):
-        counts[r["layer_table"]] = r["count"]
+    try:
+        for r in (
+            spark.read.parquet(target).groupBy("layer_table").count().collect()
+        ):
+            counts[r["layer_table"]] = r["count"]
+    except Exception:
+        # an empty source writes no partition dirs at all (just _SUCCESS),
+        # which parquet cannot infer a schema from — every table is 0 rows
+        pass
     for name in sorted(overrides):
         counts[name] = write_layer_table(
             overrides[name], out_dir, name, cell_res=cell_res

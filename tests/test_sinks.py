@@ -243,3 +243,18 @@ def test_export_bundle_routed_parity(spark, tmp_path):
     for d in glob.glob(str(tmp_path / "routed" / "routed" / "layer_table=*/cell_p=*")):
         n_files = len(glob.glob(os.path.join(d, "*.parquet")))
         assert 1 <= n_files <= 4, f"{d}: {n_files} files"
+
+
+def test_export_bundle_routed_empty_source(spark, tmp_path):
+    """An empty source writes zero partition dirs (nothing for parquet to
+    infer a schema from) — the manifest must still land with every table
+    at 0 rows instead of the count read-back throwing."""
+    from pgosm_flex_spark.sinks import export_bundle_routed
+
+    osm = fixtures.osm_objects_df(spark).filter("osm_id < -999999999")
+    m = export_bundle_routed(
+        spark, osm, str(tmp_path / "empty"), region="e",
+        layerset="minimal", pgosm_date="2026-01-01",
+    )
+    assert m["routed"] is True
+    assert m["tables"] and all(v == 0 for v in m["tables"].values())
