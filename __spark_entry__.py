@@ -1084,6 +1084,44 @@ def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("image_id")
 
 
+def q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup dedup by phash Hamming distance — the image member of
+    the dedup ladder (images/neardup.py, pigeonhole-banded like SimHash).
+    Structural-recall oracle: each event seeds a 4-variant family over an
+    xxhash64 base — pha/phb identical (hamming 0), phc flips bit 0
+    (hamming 1), phd flips one bit in each of bands 1-3 (band-0 candidate,
+    hamming 3, REJECTED by the exact verify at max_hamming=2) — so the
+    complete answer is exactly {(a,b,0),(a,c,1),(b,c,1)} per family by
+    construction (accidental cross-family hamming ≤ 2 between xxhash64
+    values is ~1e-8 over this corpus)."""
+    from pgosm_flex_spark.images.neardup import phash_near_dup_pairs
+
+    base = (
+        td.load(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 5000)
+        .select(
+            F.xxhash64(F.col("event_id").cast("long")).alias("h"),
+            F.lpad(F.col("event_id").cast("string"), 8, "0").alias("k"),
+        )
+    )
+    h = F.col("h")
+    variants = [
+        ("pha", h),
+        ("phb", h),
+        ("phc", h.bitwiseXOR(F.lit(1))),
+        # one bit in each of bands 1..3 (bits 16, 32, 48): band 0 intact
+        ("phd", h.bitwiseXOR(F.lit(0x0001000100010000))),
+    ]
+    imgs = None
+    for tag, expr in variants:
+        part = base.select(
+            F.concat(F.lit(tag), F.col("k")).alias("image_id"),
+            expr.alias("phash"),
+        )
+        imgs = part if imgs is None else imgs.unionByName(part)
+    return phash_near_dup_pairs(imgs, max_hamming=2).orderBy("id_a", "id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_city_counts": q_pip_city_counts,
@@ -1129,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dup_groups": q_fingerprint_dup_groups,
         "lsh_ann_self_top1": q_lsh_ann_self_top1,
         "image_decode_stats": q_image_decode_stats,
+        "phash_near_dups": q_phash_near_dups,
         "audio_meta": q_audio_meta,
         "video_frame_meta": q_video_frame_meta,
         **_golden_queries(),
@@ -1793,5 +1832,24 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN event_id % 3 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
                TRUE AS phash_ok, TRUE AS decode_ok
         FROM events WHERE event_id < 500 ORDER BY image_id
+    """
+    # phash_near_dups: structural-recall oracle (see q_phash_near_dups) —
+    # each event family plants 4 phash variants whose pairwise Hamming
+    # distances are fixed by construction (0/1/1 in, 3/3/4 out at
+    # max_hamming=2), so the complete banded answer is enumerable without
+    # recomputing xxhash64 (cross-family 64-bit near-collisions ~1e-8 and
+    # deterministic).
+    out["phash_near_dups"] = """
+        WITH k AS (
+            SELECT lpad(CAST(event_id AS VARCHAR), 8, '0') AS k
+            FROM events WHERE event_id < 5000)
+        SELECT * FROM (
+            SELECT 'pha' || k AS id_a, 'phb' || k AS id_b,
+                   CAST(0 AS INT) AS hamming FROM k
+            UNION ALL
+            SELECT 'pha' || k, 'phc' || k, CAST(1 AS INT) FROM k
+            UNION ALL
+            SELECT 'phb' || k, 'phc' || k, CAST(1 AS INT) FROM k)
+        ORDER BY id_a, id_b
     """
     return out

@@ -265,3 +265,49 @@ def test_audio_stats_degenerate_rows_fail_per_row(spark):
     r = got.loc["good"]
     assert r["decode_ok"] and r["n_samples"] == len(good)
     assert r["rms"] == np.sqrt((good.astype(np.float64) ** 2).mean())
+
+
+def test_phash_near_dup_vs_bruteforce(spark):
+    """Banded phash pairs must equal the all-pairs Hamming answer exactly
+    (pigeonhole is lossless for max_hamming < bands)."""
+    from pgosm_flex_spark.images.neardup import phash_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(-(2**63), 2**63, size=60, dtype=np.int64)
+    # plant near-dups: exact copy, 1-bit flip, 2-bit flip, 3-bit flip (out)
+    hashes = np.concatenate([
+        base,
+        base[:5],
+        base[5:10] ^ np.int64(1),
+        base[10:15] ^ np.int64((1 << 7) | (1 << 40)),
+        base[15:20] ^ np.int64((1 << 3) | (1 << 21) | (1 << 55)),
+    ])
+    ids = [f"i{k:04d}" for k in range(len(hashes))]
+    df = spark.createDataFrame(
+        pd.DataFrame({"image_id": ids, "phash": hashes})
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_dup_pairs(df, max_hamming=2).collect()
+    }
+    h = hashes.astype(np.uint64)
+    want = {}
+    for x in range(len(h)):
+        ham = np.array([bin(int(h[x] ^ v)).count("1") for v in h])
+        for y in np.nonzero(ham <= 2)[0]:
+            if x < y:
+                want[(ids[x], ids[y])] = int(ham[y])
+    assert got == want
+    assert any(v == 0 for v in want.values())  # exact dups present
+    assert any(v == 1 for v in want.values())
+    assert any(v == 2 for v in want.values())
+
+
+def test_phash_near_dup_rejects_bad_bands(spark):
+    from pgosm_flex_spark.images.neardup import phash_near_dup_pairs
+
+    df = spark.createDataFrame(pd.DataFrame({"image_id": ["a"], "phash": [1]}))
+    with pytest.raises(ValueError):
+        phash_near_dup_pairs(df, max_hamming=4, bands=4)
+    with pytest.raises(ValueError):
+        phash_near_dup_pairs(df, bands=5)
