@@ -172,6 +172,25 @@ def main() -> None:
     queries = emb.filter(F.col("vec_id") < 100)
     timed("q_ann_top5", lambda: ann.cosine_topk(emb, queries, k=5).count())
 
+    # ---- image near-dup dedup: banded phash Hamming join over the full
+    # image corpus + 5% planted 1-bit re-encode variants (what a real
+    # training-data dedup pass sees). Timed part is the pigeonhole band
+    # join + exact bit_count refine; input is cache-filled first.
+    from pgosm_flex_spark.images.neardup import phash_near_dup_pairs
+
+    base_ph = images.select("image_id", "phash")
+    ph_variants = base_ph.filter(F.xxhash64("image_id") % 20 == 0).select(
+        F.concat(F.lit("v"), "image_id").alias("image_id"),
+        F.col("phash").bitwiseXOR(F.lit(1)).alias("phash"),
+    )
+    ph_all = base_ph.unionByName(ph_variants).persist()
+    n_planted = ph_all.count() - n_images
+    n_dups = timed(
+        "q_phash_dedup", lambda: phash_near_dup_pairs(ph_all, max_hamming=2).count()
+    )
+    assert n_dups >= n_planted, "planted 1-bit variants must all be found"
+    ph_all.unpersist()
+
     # ---- image decode path (bounded pixel volume)
     n_decode = min(20000, n_images)
     imgs_px = fixtures.images_df(spark, n_decode, with_pixels=True)
