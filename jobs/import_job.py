@@ -169,6 +169,9 @@ def main() -> int:
             tables["place_polygon_nested"] = build_nested_admin_polygons(
                 tables["place_polygon"].filter(F.col("geom_wkb").isNotNull())
             )
+    # the nested rebuild runs eager jobs — charge them to their own section
+    # so pip_join_checkpointed reports only the checkpointed join
+    mark("layer_post_processing")
 
     # 5. flagship containment join, checkpointed per coarse cell; in append
     # mode pts is already restricted to touched cells and the dated job_id

@@ -35,7 +35,10 @@ def phash_near_dup_pairs(
 
     Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``, exact and
     complete: the pigeonhole guarantee makes banding lossless for
-    ``max_hamming < bands``, so the output equals the all-pairs answer.
+    ``max_hamming < bands``, so the output equals the all-pairs answer
+    over rows with a non-NULL phash (decode failures have no perceptual
+    hash to compare — they are filtered out up front, not silently lost
+    in the join).
     """
     if max_hamming >= bands:
         raise ValueError(
@@ -59,9 +62,11 @@ def phash_near_dup_pairs(
             for q in range(bands)
         ]
     )
-    banded = images.select(
-        id_col, phash_col, F.explode(band_structs).alias("bb")
-    ).select(id_col, phash_col, "bb.b", "bb.bv")
+    banded = (
+        images.filter(F.col(phash_col).isNotNull())
+        .select(id_col, phash_col, F.explode(band_structs).alias("bb"))
+        .select(id_col, phash_col, "bb.b", "bb.bv")
+    )
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col(phash_col).alias("ha"), "b", "bv"
     )

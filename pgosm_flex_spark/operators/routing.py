@@ -262,7 +262,7 @@ def edge_intersection_blades(
             # cell's own resolution) is the join cell; vectorized per
             # resolution level (two levels at most)
             cell_arr = bdf["cell"].to_numpy()[upair]
-            res_arr = (cell_arr >> 58).astype(np.int64)
+            res_arr = cells.unpack(cell_arr)[0].astype(np.int64)
             keep = np.zeros(len(key), dtype=bool)
             for r in np.unique(res_arr):
                 sel = res_arr == r
@@ -483,12 +483,16 @@ def shortest_paths(
     reference rollup's ``vertex_ids``/``edge_ids`` arrays
     (routing_functions.sql:586-588)."""
     pcols = ("pred_vertex", "pred_edge") if with_pred else ()
+    # edge_id is only a requirement of the predecessor variant: a minimal
+    # (source_vertex, target_vertex, costs) frame keeps working with the
+    # default with_pred=False
+    eid_col = F.col("edge_id") if with_pred else F.lit(-1).cast("long")
     arcs = (
         edges.select(
             F.col("source_vertex").alias("src"),
             F.col("target_vertex").alias("dst"),
             F.col(fwd_cost).alias("w"),
-            F.col("edge_id").alias("eid"),
+            eid_col.alias("eid"),
         )
         .filter(F.col("w") >= 0)
         .unionByName(
@@ -496,7 +500,7 @@ def shortest_paths(
                 F.col("target_vertex").alias("src"),
                 F.col("source_vertex").alias("dst"),
                 F.col(rev_cost).alias("w"),
-                F.col("edge_id").alias("eid"),
+                eid_col.alias("eid"),
             ).filter(F.col("w") >= 0)
         )
         .persist()
@@ -583,11 +587,19 @@ def route_paths(pred: DataFrame, source_vertex_id: int) -> DataFrame:
         .otherwise(F.array(F.col("pred_edge")))
         .alias("eseg"),
     ).localCheckpoint(eager=True)
-    while True:
+    # 2^64 hops exceeds any graph: more rounds means the pred chain cycles
+    max_rounds = 64
+    n_state = state.count()
+    for _round in range(max_rounds + 1):
         done = state.filter(F.col("anc").isNull())
         active = state.filter(F.col("anc").isNotNull())
         if active.isEmpty():
             break
+        if _round == max_rounds:
+            raise ValueError(
+                "route_paths did not converge after 64 pointer-doubling "
+                "rounds — the predecessor chain contains a cycle"
+            )
         anc_tbl = state.select(
             F.col("vertex_id").alias("__av"),
             F.col("anc").alias("__aanc"),
@@ -603,6 +615,18 @@ def route_paths(pred: DataFrame, source_vertex_id: int) -> DataFrame:
             F.concat(F.col("__aeseg"), F.col("eseg")).alias("eseg"),
         )
         new = done.unionByName(spliced).localCheckpoint(eager=True)
+        # the splice join is ≤1:1 (anc → unique vertex_id), so any shrink
+        # means active rows whose ancestor is missing from the input — a
+        # pre-filtered pred frame. Fail loud instead of silently returning
+        # a subset of routes.
+        n_new = new.count()
+        if n_new != n_state:
+            raise ValueError(
+                f"route_paths lost {n_state - n_new} route(s): some rows' "
+                "pred_vertex is absent from the input — pass the COMPLETE "
+                "frontier from shortest_paths(with_pred=True), then filter "
+                "the reconstructed output"
+            )
         state.unpersist(blocking=False)
         state = new
     return state.select(

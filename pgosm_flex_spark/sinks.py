@@ -21,6 +21,7 @@ from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from pgosm_flex_spark import __version__
 from pgosm_flex_spark.index import cells
@@ -57,7 +58,10 @@ def write_layer_table(
         # behind and cannot be re-read without a schema → 0.
         try:
             return df.sparkSession.read.parquet(target).count()
-        except Exception:
+        except AnalysisException:
+            # only the no-files case (schema cannot be inferred / path has
+            # just _SUCCESS); a transient count failure must still raise —
+            # swallowing it would report a written table as 0 rows
             return 0
     # append: the caller wants the size of THIS increment, not the total
     return df.count()
@@ -186,9 +190,11 @@ def export_bundle_routed(
             spark.read.parquet(target).groupBy("layer_table").count().collect()
         ):
             counts[r["layer_table"]] = r["count"]
-    except Exception:
+    except AnalysisException:
         # an empty source writes no partition dirs at all (just _SUCCESS),
-        # which parquet cannot infer a schema from — every table is 0 rows
+        # which parquet cannot infer a schema from — every table is 0 rows.
+        # Anything else (executor loss, FS hiccup) must raise, not report
+        # a freshly-written bundle as all-zero.
         pass
     for name in sorted(overrides):
         counts[name] = write_layer_table(
