@@ -47,6 +47,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # NO silent Arrow fallback: the legacy toPandas path degrades int64
+        # to float64, truncating 64-bit content ids (xxhash64 vertex/edge
+        # ids corrupt at |id| > 2^53 — observed under host memory pressure).
+        # A loud conversion failure beats silently wrong ids.
+        .config("spark.sql.execution.arrow.pyspark.fallback.enabled", "false")
         # large record batches keep the vectorized-UDF hot path efficient at
         # high parallelism (2048-row batches measured 9x slower at local[32]);
         # maxBytesPerBatch (64 MB default) still bounds memory for image

@@ -30,6 +30,16 @@ def grid_roads(spark):
     ).cache()
 
 
+def _src_vertex(vertices) -> int:
+    # pick the SW-most vertex via collect(): Row values stay Python ints.
+    # (toPandas here is a trap: if the Arrow conversion fails under memory
+    # pressure, the silent legacy fallback returns vertex_id as float64 and
+    # truncates 64-bit xxhash64 ids — an id that exists in no edge row)
+    return int(
+        vertices.orderBy("lon", "lat").select("vertex_id").first()["vertex_id"]
+    )
+
+
 def test_routing_network_grid(spark, grid_roads):
     edges, vertices = routing.build_routing_network(grid_roads)
     e = edges.toPandas()
@@ -230,9 +240,8 @@ def test_shortest_paths_khop_grid(spark, grid_roads):
 
     edges, vertices = routing.build_routing_network(grid_roads)
     e = edges.toPandas()
-    v = vertices.toPandas()
-    src = v.sort_values(["lon", "lat"]).iloc[0]["vertex_id"]
-    dist = routing.shortest_paths_khop(edges, int(src), k_hops=12).toPandas()
+    src = _src_vertex(vertices)
+    dist = routing.shortest_paths_khop(edges, src, k_hops=12).toPandas()
 
     adj = {}
     for r in e.itertuples(index=False):
@@ -266,8 +275,7 @@ def test_shortest_paths_convergence_matches_dijkstra(spark, grid_roads):
     import heapq
 
     edges, vertices = routing.build_routing_network(grid_roads)
-    v = vertices.toPandas()
-    src = int(v.sort_values(["lon", "lat"]).iloc[0]["vertex_id"])
+    src = _src_vertex(vertices)
     conv = routing.shortest_paths(edges, src).toPandas()
     bounded = routing.shortest_paths_khop(edges, src, k_hops=12).toPandas()
 
@@ -312,8 +320,7 @@ def test_route_paths_reconstruction(spark, grid_roads):
     import heapq
 
     edges, vertices = routing.build_routing_network(grid_roads)
-    v = vertices.toPandas()
-    src = int(v.sort_values(["lon", "lat"]).iloc[0]["vertex_id"])
+    src = _src_vertex(vertices)
     pred = routing.shortest_paths(edges, src, with_pred=True)
     paths = routing.route_paths(pred, src).toPandas()
 
@@ -355,3 +362,43 @@ def test_route_paths_reconstruction(spark, grid_roads):
     # the source's own route is the degenerate [src], []
     srow = paths[paths["vertex_id"] == src].iloc[0]
     assert list(srow.vertex_ids) == [src] and list(srow.edge_ids) == []
+
+
+def test_shortest_paths_minimal_edges_contract(spark):
+    # the default with_pred=False path must accept a minimal frame without
+    # edge_id (pre-round-4 contract); with_pred=True is the variant that
+    # requires it
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "source_vertex": [0, 1, 0],
+                "target_vertex": [1, 2, 2],
+                "cost_seconds_forward": [10.0, 5.0, 30.0],
+                "cost_seconds_reverse": [10.0, 5.0, 30.0],
+            }
+        )
+    )
+    got = {
+        int(r["vertex_id"]): r["dist"]
+        for r in routing.shortest_paths(edges, 0).collect()
+    }
+    assert got == {0: 0.0, 1: 10.0, 2: 15.0}
+
+
+def test_route_paths_rejects_prefiltered_pred(spark, grid_roads):
+    # dropping an interior vertex from the predecessor frontier must fail
+    # loud: a silent inner-join drop would return a SUBSET of routes
+    edges, vertices = routing.build_routing_network(grid_roads)
+    src = _src_vertex(vertices)
+    pred = routing.shortest_paths(edges, src, with_pred=True)
+    # a vertex that IS another row's predecessor — removing it guarantees
+    # some surviving row's chain dangles
+    interior = (
+        pred.filter((F.col("pred_vertex") != src) & (F.col("pred_vertex") != -1))
+        .limit(1)
+        .collect()[0]["pred_vertex"]
+    )
+    with pytest.raises(ValueError, match="pred_vertex is absent"):
+        routing.route_paths(
+            pred.filter(F.col("vertex_id") != interior), src
+        ).collect()

@@ -1,0 +1,83 @@
+"""Full-pipeline scaling pair: the ENTIRE import job (read → tag→schema
+layer mapping → relation dedup → nested polygons → checkpointed PIP join →
+export bundle) at two parallelism levels on the same pre-materialized
+input — the north rule's two-cluster-size criterion applied to the whole
+job rather than a single operator. High-core leg runs first (it is the
+contention-sensitive one on this shared host).
+
+  PYTHONPATH=/root/repo python tools/import_scaling.py
+
+Env:
+  IMPORT_INPUT  pre-materialized images parquet (default
+                /tmp/import_scale_imgs_6m; tools note in BASELINE.md)
+  LO / HI       core counts (default 4 / 16)
+  ROUTED        "1" (default) → --routed-export, the single-scan write path
+
+Prints one JSON line with both legs' total wall + per-section times and
+the raw scaling efficiency (T_lo / T_hi) / (HI / LO).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_leg(cpus: int, inp: str, routed: bool) -> dict:
+    out_dir = f"/tmp/import_scaling_out_{cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cmd = [
+        sys.executable, os.path.join(REPO, "jobs", "import_job.py"),
+        "--input", inp, "--out", out_dir, "--cpus", str(cpus), "--force",
+    ]
+    if routed:
+        cmd.append("--routed-export")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    t0 = time.time()
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       timeout=3600, check=True)
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    rec = json.loads(line)
+    rec["leg_wall_s"] = round(time.time() - t0, 1)
+    rec["cpus"] = cpus
+    rec["load1_at_start"] = round(os.getloadavg()[0], 1)
+    return rec
+
+
+def main() -> None:
+    inp = os.environ.get("IMPORT_INPUT", "/tmp/import_scale_imgs_6m")
+    lo = int(os.environ.get("LO", "4"))
+    hi = int(os.environ.get("HI", "16"))
+    routed = os.environ.get("ROUTED", "1") == "1"
+    load0 = round(os.getloadavg()[0], 1)
+    hi_leg = run_leg(hi, inp, routed)
+    lo_leg = run_leg(lo, inp, routed)
+    # efficiency over the JOB's own wall (excludes JVM start, which a real
+    # cluster pays once per executor fleet, not per measurement)
+    eff = (lo_leg["wall_seconds"] / hi_leg["wall_seconds"]) / (hi / lo)
+    print(json.dumps({
+        "metric": "full_import_scaling",
+        "n_points": hi_leg["n_points"],
+        "routed_export": routed,
+        "lo_cpus": lo, "hi_cpus": hi,
+        "lo_wall_s": lo_leg["wall_seconds"],
+        "hi_wall_s": hi_leg["wall_seconds"],
+        "lo_sections": lo_leg["sections"],
+        "hi_sections": hi_leg["sections"],
+        "lo_throughput_pts_per_s": round(lo_leg["n_points"] / lo_leg["wall_seconds"], 1),
+        "hi_throughput_pts_per_s": round(hi_leg["n_points"] / hi_leg["wall_seconds"], 1),
+        "efficiency": round(eff, 3),
+        "load1_before": load0,
+        "lo_load1": lo_leg["load1_at_start"],
+        "hi_load1": hi_leg["load1_at_start"],
+    }))
+
+
+if __name__ == "__main__":
+    main()
