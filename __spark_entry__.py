@@ -680,12 +680,24 @@ def q_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        dedup.exact_dedup(_dup_docs(spark, sf_dir))
-        .select("keep_id", "n_dups")
-        .orderBy("keep_id")
+def q_dup_group_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-text AND rolling-fingerprint duplicate groups in one union —
+    the two hash-groupBy rungs of the dedup ladder share the (keep_id,
+    n_dups) shape, so one query value-checks both (the fingerprint is an
+    order-sensitive fold over tokens, hence groups == whitespace-normalized
+    text groups; 64-bit collisions ~1e-12 at this corpus size)."""
+    docs = _dup_docs(spark, sf_dir)
+    exact = dedup.exact_dedup(docs).select(
+        F.lit("exact").alias("tier"), "keep_id", "n_dups"
     )
+    fp = docs.select("doc_id", analysis.fingerprint(F.col("text")).alias("fp"))
+    fpg = (
+        fp.groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+        .select(F.lit("fingerprint").alias("tier"), "keep_id", "n_dups")
+    )
+    return exact.unionByName(fpg).orderBy("tier", "keep_id")
 
 
 def q_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -980,49 +992,71 @@ def _texts_of(docs: DataFrame, side: str) -> DataFrame:
     return docs.select(F.col("doc_id").alias(side), F.col("text").alias(f"__t_{side}"))
 
 
-def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH recall proof on exact duplicates: identical text →
-    identical signature → all bands collide → candidate → verified at
-    jaccard 1.0. The text-equality join pins precision so the oracle is the
+def q_hash_recall_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH and SimHash recall proofs on exact duplicates, one union:
+    identical text → identical signature → found by construction (all LSH
+    bands collide / hamming 0 through the quarter blocking). The
+    text-equality join pins precision, so the oracle for both methods is the
     plain text self-join."""
     docs = _dup_docs(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(docs, threshold=1.0)
-    return (
-        pairs.join(_texts_of(docs, "doc_a"), "doc_a")
+
+    def pinned(pairs: DataFrame, method: str) -> DataFrame:
+        return (
+            pairs.join(_texts_of(docs, "doc_a"), "doc_a")
+            .join(_texts_of(docs, "doc_b"), "doc_b")
+            .filter(F.col("__t_doc_a") == F.col("__t_doc_b"))
+            .select(F.lit(method).alias("method"), "doc_a", "doc_b")
+        )
+
+    mh = pinned(dedup.minhash_lsh_pairs(docs, threshold=1.0), "minhash")
+    sh = pinned(dedup.simhash_pairs(docs, max_hamming=0), "simhash")
+    return mh.unionByName(sh).orderBy("method", "doc_a", "doc_b")
+
+
+def q_cc_block_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (large-star/small-star, operators/components.py)
+    over a synthetic graph with a closed-form answer: within each 100-node
+    block of event ids there is a full chain (every third edge reversed, to
+    pin undirectedness) plus pigeonholed shortcut edges — so every node's
+    component is its block minimum, but resolving it requires full
+    transitive closure over a diameter-99 chain (O(log n) star-contraction
+    rounds; any single-round blocking scheme fails this)."""
+    from pgosm_flex_spark.operators.components import connected_components
+
+    ev = td.load(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("i")
+    )
+    i = F.col("i")
+    blk = (F.floor(i / 100) * 100).cast("long")
+    in_chain = i % 100 != 99
+    fwd = ev.filter(in_chain & (i % 3 != 0)).select(
+        i.alias("src"), (i + 1).alias("dst")
+    )
+    rev = ev.filter(in_chain & (i % 3 == 0)).select(
+        (i + 1).alias("src"), i.alias("dst")
+    )
+    cut = ev.filter(i % 17 == 5).select(i.alias("src"), (blk + 50).alias("dst"))
+    edges = fwd.unionByName(rev).unionByName(cut)
+    return connected_components(edges).orderBy("node")
+
+
+def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ladder's grouping stage end-to-end: MinHash-LSH pairs
+    (text-equality-pinned, as in hash_recall_pairs) → connected components →
+    per-doc canonical keeper map (keep_id = min doc id of the transitive
+    duplicate cluster — the keep-first policy). Text equality is transitive,
+    so components == text groups and the oracle is a plain GROUP BY."""
+    from pgosm_flex_spark.operators.components import dedup_keep_map
+
+    docs = _dup_docs(spark, sf_dir)
+    pairs = (
+        dedup.minhash_lsh_pairs(docs, threshold=1.0)
+        .join(_texts_of(docs, "doc_a"), "doc_a")
         .join(_texts_of(docs, "doc_b"), "doc_b")
         .filter(F.col("__t_doc_a") == F.col("__t_doc_b"))
         .select("doc_a", "doc_b")
-        .orderBy("doc_a", "doc_b")
     )
-
-
-def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash recall proof on exact duplicates (hamming 0 via the quarter
-    blocking + xor bit_count path)."""
-    docs = _dup_docs(spark, sf_dir)
-    pairs = dedup.simhash_pairs(docs, max_hamming=0)
-    return (
-        pairs.join(_texts_of(docs, "doc_a"), "doc_a")
-        .join(_texts_of(docs, "doc_b"), "doc_b")
-        .filter(F.col("__t_doc_a") == F.col("__t_doc_b"))
-        .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
-    )
-
-
-def q_fingerprint_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-fingerprint dup groups ↔ token-sequence groups (fingerprint is
-    an order-sensitive fold over tokens, so groups match whitespace-normalized
-    text groups; 64-bit collisions are ~1e-12 at this corpus size)."""
-    docs = _dup_docs(spark, sf_dir)
-    fp = docs.select("doc_id", analysis.fingerprint(F.col("text")).alias("fp"))
-    return (
-        fp.groupBy("fp")
-        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
-        .filter(F.col("n_dups") > 1)
-        .select("keep_id", "n_dups")
-        .orderBy("keep_id")
-    )
+    return dedup_keep_map(pairs).orderBy("doc_id")
 
 
 def q_lsh_ann_self_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1148,7 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "lang_counts": q_lang_counts,
-        "exact_dup_groups": q_exact_dup_groups,
+        "dup_group_tiers": q_dup_group_tiers,
         "word_jaccard_pairs": q_word_jaccard_pairs,
         "char_ngram_jaccard_pairs": q_char_ngram_jaccard_pairs,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1162,9 +1196,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc_features_not_in_layers": q_qc_features_not_in_layers,
         "qc_tag_suggestions": q_qc_tag_suggestions,
         "stream_first_seen": q_stream_first_seen,
-        "minhash_pairs": q_minhash_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "fingerprint_dup_groups": q_fingerprint_dup_groups,
+        "hash_recall_pairs": q_hash_recall_pairs,
+        "cc_block_components": q_cc_block_components,
+        "dedup_canonical_docs": q_dedup_canonical_docs,
         "lsh_ann_self_top1": q_lsh_ann_self_top1,
         "image_decode_stats": q_image_decode_stats,
         "phash_near_dups": q_phash_near_dups,
@@ -1455,10 +1489,19 @@ def _oracle_docs() -> dict[str, str]:
         UNION ALL
         SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
     """
-    exact_dups = f"""
-        WITH d AS ({dupdocs})
-        SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups FROM d
-        GROUP BY text HAVING COUNT(*) > 1 ORDER BY keep_id
+    dup_tiers = f"""
+        WITH d AS ({dupdocs}),
+        t AS (SELECT doc_id,
+                     array_to_string(list_filter(string_split(trim(text), ' '),
+                                                 w -> w <> ''), ' ') AS norm
+              FROM d),
+        e AS (SELECT 'exact' AS tier, MIN(doc_id) AS keep_id,
+                     COUNT(*) AS n_dups
+              FROM d GROUP BY text HAVING COUNT(*) > 1),
+        f AS (SELECT 'fingerprint' AS tier, MIN(doc_id) AS keep_id,
+                     COUNT(*) AS n_dups
+              FROM t GROUP BY norm HAVING COUNT(*) > 1)
+        SELECT * FROM e UNION ALL SELECT * FROM f ORDER BY tier, keep_id
     """
     jaccard = f"""
         WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
@@ -1497,25 +1540,25 @@ def _oracle_docs() -> dict[str, str]:
         SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id
         FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
     """
-    text_pairs = f"""
-        WITH d AS ({dupdocs})
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
-        ORDER BY doc_a, doc_b
-    """
-    simhash_pairs_sql = f"""
-        WITH d AS ({dupdocs})
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
-        FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
-        ORDER BY doc_a, doc_b
-    """
-    # fingerprint groups == whitespace-normalized token-sequence groups
-    norm = "array_to_string(list_filter(string_split(trim(text), ' '), w -> w <> ''), ' ')"
-    fingerprint_groups = f"""
+    hash_recall = f"""
         WITH d AS ({dupdocs}),
-        t AS (SELECT doc_id, {norm} AS norm FROM d)
-        SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups FROM t
-        GROUP BY norm HAVING COUNT(*) > 1 ORDER BY keep_id
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id)
+        SELECT 'minhash' AS method, doc_a, doc_b FROM p
+        UNION ALL SELECT 'simhash' AS method, doc_a, doc_b FROM p
+        ORDER BY method, doc_a, doc_b
+    """
+    cc_blocks = """
+        SELECT event_id AS node,
+               CAST(FLOOR(event_id / 100) * 100 AS BIGINT) AS component
+        FROM events ORDER BY node
+    """
+    canonical_docs = f"""
+        WITH d AS ({dupdocs}),
+        g AS (SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS n_in_group
+              FROM d GROUP BY text HAVING COUNT(*) > 1)
+        SELECT d.doc_id, g.keep_id, g.n_in_group
+        FROM d JOIN g ON d.text = g.text ORDER BY d.doc_id
     """
     lsh_self_top1 = """
         SELECT vec_id + 1000000 AS query_id, CAST(1 AS INT) AS rank,
@@ -1554,12 +1597,12 @@ def _oracle_docs() -> dict[str, str]:
         "doc_token_stats": token_stats,
         "doc_quality": doc_quality,
         "lang_counts": lang_counts,
-        "exact_dup_groups": exact_dups,
+        "dup_group_tiers": dup_tiers,
         "word_jaccard_pairs": jaccard,
         "ann_top3": ann3,
-        "minhash_pairs": text_pairs,
-        "simhash_pairs": simhash_pairs_sql,
-        "fingerprint_dup_groups": fingerprint_groups,
+        "hash_recall_pairs": hash_recall,
+        "cc_block_components": cc_blocks,
+        "dedup_canonical_docs": canonical_docs,
         "lsh_ann_self_top1": lsh_self_top1,
         "char_ngram_jaccard_pairs": char_jaccard,
         "embedding_near_dups": emb_near_dups,
