@@ -971,12 +971,19 @@ def layer_table_predicates(layerset: str = "everything") -> dict[str, Column]:
             p[f"{base_layer}_point"] | p[f"{base_layer}_polygon"]
         )
 
-    wanted = {
+    wanted = _wanted_tables(layerset)
+    return {name: pred for name, pred in p.items() if name in wanted}
+
+
+def _wanted_tables(layerset: str) -> set[str]:
+    """Table names a layerset resolves to — the ONE place layerset →
+    table-set resolution lives (predicate and projection surfaces must
+    filter identically or route_layer_rows silently diverges)."""
+    return {
         name
         for layer in layerset_layers(layerset)
         for name, _kind in _LAYER_TABLES[layer]
     }
-    return {name: pred for name, pred in p.items() if name in wanted}
 
 
 def layer_table_columns(layerset: str = "everything") -> dict[str, dict[str, Column]]:
@@ -1100,9 +1107,5 @@ def layer_table_columns(layerset: str = "everything") -> dict[str, dict[str, Col
         ).otherwise(F.lit(None).cast("array<bigint>"))
         cols[f"{base_layer}_combined_point"] = c
 
-    wanted = {
-        name
-        for layer in layerset_layers(layerset)
-        for name, _kind in _LAYER_TABLES[layer]
-    }
+    wanted = _wanted_tables(layerset)
     return {name: c for name, c in cols.items() if name in wanted}

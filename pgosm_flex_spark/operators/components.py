@@ -83,6 +83,13 @@ def connected_components(
     tolerated. Nodes with no edges don't appear (the caller left-joins and
     coalesces to self — see :func:`dedup_keep_map`).
 
+    Node ids may be any integral type (normalized to long) or strings
+    (compared lexicographically — ``component`` is then the lexicographic
+    minimum; this is what the image tier's ``image_id`` pairs use). Mixed or
+    other id types raise instead of silently dropping edges through a failed
+    cast — an all-NULL cast here would otherwise report "zero duplicate
+    clusters" on a corpus full of them.
+
     Convergence is detected with an order-independent edge-set checksum
     (count + bit_xor of xxhash64(src, dst)): the algorithm's state is a set,
     so an unchanged (count, checksum) pair after a large+small round means a
@@ -91,8 +98,23 @@ def connected_components(
     else in this engine). A non-converged loop RAISES rather than returning
     a partial clustering: max_rounds=64 allows 2⁶⁴ nodes at the paper's
     O(log n) bound, so hitting it means a logic error, not a big graph."""
+    from pyspark.sql.types import IntegralType, StringType
+
+    src_t = edges.schema[src].dataType
+    dst_t = edges.schema[dst].dataType
+    if isinstance(src_t, StringType) and isinstance(dst_t, StringType):
+        s_expr, d_expr = F.col(src), F.col(dst)
+    elif isinstance(src_t, IntegralType) and isinstance(dst_t, IntegralType):
+        s_expr, d_expr = F.col(src).cast("long"), F.col(dst).cast("long")
+    else:
+        raise ValueError(
+            f"connected_components needs both id columns integral or both "
+            f"string; got {src}:{src_t.simpleString()}, "
+            f"{dst}:{dst_t.simpleString()} — a lossy cast would silently "
+            "drop edges"
+        )
     cur = (
-        edges.select(F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst"))
+        edges.select(s_expr.alias("src"), d_expr.alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()

@@ -221,6 +221,17 @@ def knn_join_adaptive(
     to the broadcast path: the distributed density map counts exactly the
     same votes the driver numpy map does.
     """
+    if topk_strategy not in ("window", "stream"):
+        raise ValueError(
+            f"topk_strategy must be 'window' or 'stream', got "
+            f"{topk_strategy!r}"
+        )
+    if topk_strategy == "stream" and not broadcast_features:
+        raise ValueError(
+            "topk_strategy='stream' requires broadcast_features=True: the "
+            "streaming top-k's contiguity contract does not survive the "
+            "fallback's shuffle join — use the default 'window'"
+        )
     levels = sorted(set(res_levels), reverse=True)  # finest first
     feats = features.select(
         F.col(feature_id).alias("__fid"),

@@ -35,6 +35,10 @@ from pgosm_flex_spark.geometry import kernels, wkb as wkb_mod
 from pgosm_flex_spark.index import cells
 
 QUANT = 1e7  # vertex coordinate quantization (~1 cm)
+# Max segment combinations enumerated per flat-kernel call in the blade cut
+# stage — bounds the Python worker's peak allocation per call (~9 work
+# arrays × 8 B × CAP ≈ 300 MB) regardless of how dense an Arrow batch is.
+_BLADE_COMBO_CAP = 4_000_000
 DEFAULT_RES = 12
 # coarse fallback level for lines whose bbox is too large to cover at
 # DEFAULT_RES (a merged cross-country way). At res 6 the whole world is a
@@ -195,6 +199,52 @@ def edge_intersection_blades(
 
     out_schema = "edge_id long, blade_x double, blade_y double"
 
+    def _cut_pair_range(bdf, s, e, combos, n, a_pts, b_pts, a_off, b_off, empty):
+        """Enumerate + intersect the segment combinations of pairs [s, e) of
+        one Arrow batch: flat repeat/cumsum indexing into the batch's shared
+        point pools, one elementwise kernel call, then the per-pair quantized
+        dedup and replicated-join cell filter."""
+        c = combos[s:e]
+        ctotal = int(c.sum())
+        if ctotal == 0:
+            return empty
+        pair_of = np.repeat(np.arange(s, e), c)
+        local_off = np.concatenate([[0], np.cumsum(c)])[:-1]
+        within = np.arange(ctotal) - np.repeat(local_off, c)
+        nn = n[pair_of]
+        ai = a_off[pair_of] + within // nn
+        bi = b_off[pair_of] + within % nn
+        pts, hit = kernels.segment_pairs_flat(
+            a_pts[ai], a_pts[ai + 1], b_pts[bi], b_pts[bi + 1]
+        )
+        if pts.shape[0] == 0:
+            return empty
+        hp = pair_of[hit]
+        # per-pair quantized dedup, globally: unique (pair, xq, yq) rows
+        q = np.round(pts * QUANT).astype(np.int64)
+        key = np.unique(np.column_stack([hp, q[:, 0], q[:, 1]]), axis=0)
+        upair = key[:, 0]
+        ux = key[:, 1] / QUANT
+        uy = key[:, 2] / QUANT
+        # replicated-join dedup: keep only points whose cell (at the join
+        # cell's own resolution) is the join cell; vectorized per
+        # resolution level (two levels at most)
+        cell_arr = bdf["cell"].to_numpy()[upair]
+        res_arr = cells.unpack(cell_arr)[0].astype(np.int64)
+        keep = np.zeros(len(key), dtype=bool)
+        for r in np.unique(res_arr):
+            sel = res_arr == r
+            pc = cells.cells_of_points(ux[sel], uy[sel], int(r))
+            keep[sel] = pc == cell_arr[sel]
+        upair, ux, uy = upair[keep], ux[keep], uy[keep]
+        id_a = bdf["id_a"].to_numpy()[upair]
+        id_b = bdf["id_b"].to_numpy()[upair]
+        return pd.DataFrame({
+            "edge_id": np.concatenate([id_a, id_b]),
+            "blade_x": np.concatenate([ux, ux]),
+            "blade_y": np.concatenate([uy, uy]),
+        })
+
     def cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # ONE vectorized intersection pass per Arrow batch: every pair's
         # (m_p × n_p) segment combinations are enumerated into flat index
@@ -237,45 +287,22 @@ def edge_intersection_blades(
             b_pts = np.concatenate(gb_list)
             a_off = np.concatenate([[0], np.cumsum(m + 1)])[:-1]
             b_off = np.concatenate([[0], np.cumsum(n + 1)])[:-1]
-            c_off = np.concatenate([[0], np.cumsum(combos)])[:-1]
-            pair_of = np.repeat(np.arange(len(bdf)), combos)
-            within = np.arange(total) - np.repeat(c_off, combos)
-            nn = n[pair_of]
-            ai = a_off[pair_of] + within // nn
-            bi = b_off[pair_of] + within % nn
-            pts, hit = kernels.segment_pairs_flat(
-                a_pts[ai], a_pts[ai + 1], b_pts[bi], b_pts[bi + 1]
-            )
-            if pts.shape[0] == 0:
-                yield empty
-                continue
-            hp = pair_of[hit]
-            # per-pair quantized dedup, globally: unique (pair, xq, yq) rows
-            q = np.round(pts * QUANT).astype(np.int64)
-            key = np.unique(
-                np.column_stack([hp, q[:, 0], q[:, 1]]), axis=0
-            )
-            upair = key[:, 0]
-            ux = key[:, 1] / QUANT
-            uy = key[:, 2] / QUANT
-            # replicated-join dedup: keep only points whose cell (at the join
-            # cell's own resolution) is the join cell; vectorized per
-            # resolution level (two levels at most)
-            cell_arr = bdf["cell"].to_numpy()[upair]
-            res_arr = cells.unpack(cell_arr)[0].astype(np.int64)
-            keep = np.zeros(len(key), dtype=bool)
-            for r in np.unique(res_arr):
-                sel = res_arr == r
-                pc = cells.cells_of_points(ux[sel], uy[sel], int(r))
-                keep[sel] = pc == cell_arr[sel]
-            upair, ux, uy = upair[keep], ux[keep], uy[keep]
-            id_a = bdf["id_a"].to_numpy()[upair]
-            id_b = bdf["id_b"].to_numpy()[upair]
-            yield pd.DataFrame({
-                "edge_id": np.concatenate([id_a, id_b]),
-                "blade_x": np.concatenate([ux, ux]),
-                "blade_y": np.concatenate([uy, uy]),
-            })
+            # Chunk the flat enumeration so peak memory is bounded per
+            # KERNEL CALL, not per Arrow batch: a dense cell's batch can
+            # hold Σ m_p·n_p in the 10^8-10^9 range, and the six int64/
+            # float64 work arrays below would then allocate tens of GB at
+            # once in the Python worker. Greedy pair grouping at start-
+            # offset // CAP keeps each call ≤ CAP + max single pair.
+            CAP = _BLADE_COMBO_CAP
+            chunk_of = (np.cumsum(combos) - combos) // CAP
+            bounds = np.flatnonzero(np.diff(chunk_of)) + 1
+            pair_starts = np.concatenate([[0], bounds, [len(combos)]])
+            for s, e in zip(pair_starts[:-1], pair_starts[1:]):
+                yield _cut_pair_range(
+                    bdf, int(s), int(e), combos, n,
+                    a_pts, b_pts, a_off, b_off, empty,
+                )
+            continue
 
     return pairs.mapInPandas(cut, schema=out_schema).dropDuplicates(
         ["edge_id", "blade_x", "blade_y"]

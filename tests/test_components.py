@@ -123,3 +123,35 @@ def test_non_convergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_rounds=1)
+
+
+def test_string_ids_cluster_lexicographically(spark):
+    # the image tier's pairs carry string image_ids (images/neardup.py);
+    # before round 4's guard these cast to all-NULL longs and silently
+    # produced an EMPTY keep map
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id_a": ["img002", "img001", "vimg009"],
+                "id_b": ["img001", "img005", "img009"],
+            }
+        )
+    )
+    keep = dedup_keep_map(pairs, a_col="id_a", b_col="id_b").toPandas()
+    got = dict(zip(keep["doc_id"], keep["keep_id"]))
+    assert got == {
+        "img001": "img001",
+        "img002": "img001",
+        "img005": "img001",
+        "img009": "img009",
+        "vimg009": "img009",
+    }
+    assert set(keep[keep["doc_id"].str.startswith("v")]["n_in_group"]) == {2}
+
+
+def test_mixed_id_types_raise(spark):
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"a": ["x", "y"], "b": [1, 2]})
+    )
+    with pytest.raises(ValueError, match="integral or both string"):
+        connected_components(pairs, src="a", dst="b")

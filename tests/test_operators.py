@@ -370,3 +370,20 @@ def test_knn_adaptive_nonbroadcast_matches_broadcast(spark):
         for r in alt.collect()
     )
     assert a == b
+
+
+def test_knn_topk_strategy_validated(spark):
+    from pgosm_flex_spark.operators.knn import knn_join_adaptive
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"image_id": ["a"], "lon": [-77.0], "lat": [38.8]})
+    )
+    feats = spark.createDataFrame(
+        pd.DataFrame({"osm_id": [1], "lon": [-77.0], "lat": [38.81]})
+    )
+    with pytest.raises(ValueError, match="topk_strategy"):
+        knn_join_adaptive(pts, feats, k=1, topk_strategy="streaming")
+    with pytest.raises(ValueError, match="broadcast_features=True"):
+        knn_join_adaptive(
+            pts, feats, k=1, topk_strategy="stream", broadcast_features=False
+        )

@@ -402,3 +402,21 @@ def test_route_paths_rejects_prefiltered_pred(spark, grid_roads):
         routing.route_paths(
             pred.filter(F.col("vertex_id") != interior), src
         ).collect()
+
+
+def test_blade_chunking_matches_unchunked(spark, grid_roads, monkeypatch):
+    """The per-kernel-call combo cap (OOM guard for dense Arrow batches)
+    must not change the blade set: CAP=1 forces one pair per kernel call —
+    every chunk boundary the greedy grouping can produce."""
+    base = routing.edge_intersection_blades(
+        grid_roads, id_col="osm_id"
+    ).toPandas()
+    monkeypatch.setattr(routing, "_BLADE_COMBO_CAP", 1)
+    chunked = routing.edge_intersection_blades(
+        grid_roads, id_col="osm_id"
+    ).toPandas()
+    key = ["edge_id", "blade_x", "blade_y"]
+    a = base.sort_values(key).reset_index(drop=True)
+    b = chunked.sort_values(key).reset_index(drop=True)
+    assert len(a) == 18  # 9 crossings x 2 edges receiving each blade
+    pd.testing.assert_frame_equal(a, b)
