@@ -46,7 +46,7 @@ def run_leg(cpus: int, inp: str, routed: bool) -> dict:
     rec = json.loads(line)
     rec["leg_wall_s"] = round(time.time() - t0, 1)
     rec["cpus"] = cpus
-    rec["load1_at_start"] = round(os.getloadavg()[0], 1)
+    rec["load1_at_end"] = round(os.getloadavg()[0], 1)
     return rec
 
 
@@ -74,8 +74,8 @@ def main() -> None:
         "hi_throughput_pts_per_s": round(hi_leg["n_points"] / hi_leg["wall_seconds"], 1),
         "efficiency": round(eff, 3),
         "load1_before": load0,
-        "lo_load1": lo_leg["load1_at_start"],
-        "hi_load1": hi_leg["load1_at_start"],
+        "lo_load1_end": lo_leg["load1_at_end"],
+        "hi_load1_end": hi_leg["load1_at_end"],
     }))
 
 
