@@ -52,6 +52,16 @@ def main() -> int:
         help="export via the single-scan router (one source pass writes all "
         "tables partitioned by layer_table) instead of one write per table",
     )
+    p.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="execute every sink's full plan through Spark's noop writer: "
+        "nothing is stored or journaled. Validates the whole pipeline "
+        "without storage; also the measurement mode for scaling pairs where "
+        "write bandwidth is modeled as scaling with the fleet (a real "
+        "cluster's executors write to their own disks/object-store shards) "
+        "instead of contending on this sandbox's one shared disk",
+    )
     args = p.parse_args()
 
     from pgosm_flex_spark import __version__, fixtures
@@ -188,6 +198,7 @@ def main() -> int:
             point_cols=["image_id"],
             unit_res=args.unit_res,
             expected_units=expected_units,
+            dry_run=args.dry_run,
         )
     mark("pip_join_checkpointed")
 
@@ -205,11 +216,13 @@ def main() -> int:
         manifest = export_bundle_routed(
             spark, osm, args.out, region=args.region,
             layerset=args.layerset, pgosm_date=args.date, overrides=overrides,
+            dry_run=args.dry_run,
         )
     else:
         manifest = export_bundle(
             spark, tables, args.out, region=args.region,
             layerset=args.layerset, pgosm_date=args.date,
+            dry_run=args.dry_run,
         )
     mark("export_bundle")
     manifest["pip_units"] = {
@@ -224,8 +237,14 @@ def main() -> int:
     # library-mode hygiene: nothing stays pinned in executor memory at exit
     osm.unpersist(blocking=False)
     pts.unpersist(blocking=False)
-    with open(prior_path, "w") as f:
-        json.dump(manifest, f, indent=2, sort_keys=True)
+    if args.dry_run:
+        # leave no completion marker: a dry run stores nothing, so a later
+        # real run must neither be blocked by okay_to_run nor resume past it
+        if os.path.exists(prior_path):
+            os.remove(prior_path)
+    else:
+        with open(prior_path, "w") as f:
+            json.dump(manifest, f, indent=2, sort_keys=True)
     print(json.dumps({"status": "Completed", **manifest["pip_units"],
                       "tables": len(manifest["tables"]),
                       "n_points": n_pts,

@@ -105,6 +105,7 @@ class Checkpointer:
         units: Iterable[str],
         process: Callable[[str], dict],
         max_parallel: int = 4,
+        journal: bool = True,
     ) -> dict[str, dict]:
         """Process every unit not yet journaled as completed.
 
@@ -121,6 +122,11 @@ class Checkpointer:
         dominant cost. Spark's scheduler interleaves the concurrent jobs'
         stages across all cores; set ``max_parallel=1`` for the reference's
         strictly-serial batch-loop behavior.
+
+        ``journal=False`` runs every pending unit without recording
+        completion — for dry-run/validation passes whose ``process`` stores
+        no output (a journaled-but-empty unit would wrongly survive a later
+        real run's resume).
         """
         done = self.completed_units(spark)
         results: dict[str, dict] = {}
@@ -129,7 +135,8 @@ class Checkpointer:
         def run_one(unit: str) -> None:
             t0 = time.time()
             metrics = process(unit)
-            self.mark_completed(spark, unit, metrics, t0)
+            if journal:
+                self.mark_completed(spark, unit, metrics, t0)
             with lock:
                 results[unit] = metrics
 
@@ -160,6 +167,7 @@ def checkpointed_pip_join(
     unit_res: int = 4,
     max_parallel: int = 4,
     expected_units: Iterable[str] | None = None,
+    dry_run: bool = False,
     **pip_kwargs,
 ):
     """The flagship join as a resumable job: points are split by coarse cell
@@ -171,6 +179,13 @@ def checkpointed_pip_join(
     moves or removes a cell's last points must still overwrite that cell's
     stale ``unit=<cell>/`` output (with an empty one), or stored pairs
     diverge from a full recompute.
+
+    ``dry_run``: execute every unit's full plan through Spark's ``noop``
+    sink — nothing is stored and nothing is journaled (a later real run
+    must not resume past units that wrote no data). Validates the whole
+    pipeline end-to-end without storage, and models the cluster case where
+    write bandwidth scales with the fleet instead of contending on one
+    local disk (tools/import_scaling.py SINK=noop).
     """
     from pyspark.sql import functions as F
 
@@ -199,6 +214,9 @@ def checkpointed_pip_join(
             sub, polygons, point_cols=point_cols, cover=cover,
             res_levels=levels, **pip_kwargs,
         )
+        if dry_run:
+            pairs.write.format("noop").mode("overwrite").save()
+            return {"pairs": -1, "dry_run": True}
         target = os.path.join(out_dir, f"unit={unit}")
         pairs.write.mode("overwrite").parquet(target)
         try:
@@ -207,7 +225,10 @@ def checkpointed_pip_join(
             n = 0
         return {"pairs": n}
 
-    results = cp.run_units(spark, sorted(units), process, max_parallel=max_parallel)
+    results = cp.run_units(
+        spark, sorted(units), process, max_parallel=max_parallel,
+        journal=not dry_run,
+    )
     pts.unpersist(blocking=False)
     cover.unpersist(blocking=False)
     return results

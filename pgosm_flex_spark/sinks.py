@@ -33,11 +33,16 @@ def write_layer_table(
     name: str,
     cell_res: int = 8,
     mode: str = "overwrite",
+    dry_run: bool = False,
 ) -> int:
     """Write one layer table, cell-bucketed for pruning: rows with a point
     location gain a coarse cell column used as the partition key (the
     'index' analog of the reference's per-table GiST specs,
-    /root/reference/flex-config/helpers.lua:442-573)."""
+    /root/reference/flex-config/helpers.lua:442-573).
+
+    ``dry_run``: execute the table's full plan through the ``noop`` sink —
+    validates the pipeline without storing anything; returns -1 (no count
+    is available without either storing or re-running the plan)."""
     target = os.path.join(out_dir, name)
     if "lon" in df.columns and "lat" in df.columns:
         df = df.withColumn(
@@ -47,7 +52,13 @@ def write_layer_table(
                 cells.cell_col(F.col("lon"), F.col("lat"), cell_res),
             ).otherwise(F.lit(-1)),
         )
+        if dry_run:
+            df.write.format("noop").mode("overwrite").save()
+            return -1
         df.write.mode(mode).partitionBy("cell_p").parquet(target)
+    elif dry_run:
+        df.write.format("noop").mode("overwrite").save()
+        return -1
     else:
         df.write.mode(mode).parquet(target)
     if mode == "overwrite":
@@ -74,11 +85,17 @@ def export_bundle(
     region: str,
     layerset: str,
     pgosm_date: str,
+    dry_run: bool = False,
 ) -> dict:
     """Write every layer table + manifest. Returns the manifest dict.
 
     Bundle name mirrors the reference's dump naming
     (docker/pgosm_flex.py:553-570): <region>-<layerset>-<date>.
+
+    ``dry_run``: every table's plan executes through the ``noop`` sink
+    (nothing stored, counts reported as -1) — a full-pipeline validation
+    pass, and the measurement mode where write bandwidth is modeled as
+    scaling with the fleet rather than contending on one local disk.
     """
     os.makedirs(out_dir, exist_ok=True)
     # concurrent table writes (same pattern as the checkpointed join's unit
@@ -93,7 +110,12 @@ def export_bundle(
         counts = dict(
             zip(
                 names,
-                ex.map(lambda n: write_layer_table(tables[n], out_dir, n), names),
+                ex.map(
+                    lambda n: write_layer_table(
+                        tables[n], out_dir, n, dry_run=dry_run
+                    ),
+                    names,
+                ),
             )
         )
     manifest = {
@@ -105,6 +127,8 @@ def export_bundle(
         "srid_convention": "EPSG:4326 coordinates; web-mercator cell/tile grid",
         "tables": counts,
     }
+    if dry_run:
+        manifest["dry_run"] = True
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     return manifest
@@ -120,6 +144,7 @@ def export_bundle_routed(
     cell_res: int = 8,
     overrides: dict[str, DataFrame] | None = None,
     files_per_partition: int | None = 4,
+    dry_run: bool = False,
 ) -> dict:
     """Single-pass export: ONE scan of ``osm`` writes every layer table.
 
@@ -177,28 +202,35 @@ def export_bundle_routed(
             F.col("cell_p"),
             F.pmod(F.xxhash64(F.col("osm_id")), F.lit(files_per_partition)),
         )
-    routed.write.mode("overwrite").partitionBy("layer_table", "cell_p").parquet(
-        target
-    )
-
-    # counts from the written files: layer_table is a partition column, so
-    # this group-count is satisfied from directory metadata + row-group
-    # footers, not a re-run of the routing pipeline
     counts = {n: 0 for n in expected}
-    try:
-        for r in (
-            spark.read.parquet(target).groupBy("layer_table").count().collect()
-        ):
-            counts[r["layer_table"]] = r["count"]
-    except AnalysisException:
-        # an empty source writes no partition dirs at all (just _SUCCESS),
-        # which parquet cannot infer a schema from — every table is 0 rows.
-        # Anything else (executor loss, FS hiccup) must raise, not report
-        # a freshly-written bundle as all-zero.
-        pass
+    if dry_run:
+        # full plan (routing + clustering shuffle) through the noop sink;
+        # no files means no metadata counts — report -1 per routed table
+        routed.write.format("noop").mode("overwrite").save()
+        counts = {n: -1 for n in counts}
+    else:
+        routed.write.mode("overwrite").partitionBy(
+            "layer_table", "cell_p"
+        ).parquet(target)
+
+        # counts from the written files: layer_table is a partition column,
+        # so this group-count is satisfied from directory metadata +
+        # row-group footers, not a re-run of the routing pipeline
+        try:
+            for r in (
+                spark.read.parquet(target)
+                .groupBy("layer_table").count().collect()
+            ):
+                counts[r["layer_table"]] = r["count"]
+        except AnalysisException:
+            # an empty source writes no partition dirs at all (just
+            # _SUCCESS), which parquet cannot infer a schema from — every
+            # table is 0 rows. Anything else (executor loss, FS hiccup)
+            # must raise, not report a freshly-written bundle as all-zero.
+            pass
     for name in sorted(overrides):
         counts[name] = write_layer_table(
-            overrides[name], out_dir, name, cell_res=cell_res
+            overrides[name], out_dir, name, cell_res=cell_res, dry_run=dry_run
         )
 
     manifest = {
@@ -211,6 +243,8 @@ def export_bundle_routed(
         "routed": True,
         "tables": counts,
     }
+    if dry_run:
+        manifest["dry_run"] = True
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     return manifest

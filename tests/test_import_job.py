@@ -164,3 +164,40 @@ def test_import_job_leaves_no_persisted_rdds(spark, tmp_path):
     )
     assert rc == 0
     assert jsc.getPersistentRDDs().size() == before
+
+
+def test_dry_run_executes_everything_but_stores_nothing(spark, tmp_path):
+    # --dry-run drives every plan (layer map, checkpointed join, export)
+    # through the noop sink: full validation pass, zero stored state —
+    # and a later REAL run must start from scratch, not resume past it
+    out = str(tmp_path / "dry")
+    rc = run_job(
+        ["--out", out, "--n-images", "800", "--layerset", "minimal",
+         "--skip-nested", "--unit-res", "13", "--dry-run"]
+    )
+    assert rc == 0
+    assert not os.path.exists(os.path.join(out, "manifest.json"))
+    assert glob.glob(f"{out}/image_place_pairs/unit=*") == []
+    assert glob.glob(f"{out}/image_place_pairs/_journal/*.parquet") == []
+    # same out dir, real run: nothing was journaled, so no unit skips
+    rc = run_job(
+        ["--out", out, "--n-images", "800", "--layerset", "minimal",
+         "--skip-nested", "--unit-res", "13"]
+    )
+    assert rc == 0
+    manifest = json.load(open(os.path.join(out, "manifest.json")))
+    assert manifest["pip_units"]["skipped_resume"] == 0
+    assert manifest["pip_units"]["total"] > 0
+    assert spark.read.parquet(
+        *glob.glob(f"{out}/image_place_pairs/unit=*")
+    ).count() > 0
+
+
+def test_dry_run_routed_export_reports_dry_manifest(spark, tmp_path):
+    out = str(tmp_path / "dry_routed")
+    rc = run_job(
+        ["--out", out, "--n-images", "500", "--layerset", "minimal",
+         "--skip-nested", "--unit-res", "13", "--routed-export", "--dry-run"]
+    )
+    assert rc == 0
+    assert glob.glob(f"{out}/routed/layer_table=*") == []

@@ -12,6 +12,12 @@ Env:
                 /tmp/import_scale_imgs_6m; tools note in BASELINE.md)
   LO / HI       core counts (default 4 / 16)
   ROUTED        "1" (default) → --routed-export, the single-scan write path
+  SINK          "parquet" (default) | "noop" → --dry-run: every sink plan
+                executes through Spark's noop writer. Models the cluster
+                case where write bandwidth scales WITH the fleet (each
+                executor writes to its own disks / object-store shards)
+                instead of both legs contending on this sandbox's single
+                shared disk — report alongside the raw (parquet) pair.
 
 Prints one JSON line with both legs' total wall + per-section times and
 the raw scaling efficiency (T_lo / T_hi) / (HI / LO).
@@ -29,7 +35,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_leg(cpus: int, inp: str, routed: bool) -> dict:
+def run_leg(cpus: int, inp: str, routed: bool, noop: bool = False) -> dict:
     out_dir = f"/tmp/import_scaling_out_{cpus}"
     shutil.rmtree(out_dir, ignore_errors=True)
     cmd = [
@@ -38,6 +44,8 @@ def run_leg(cpus: int, inp: str, routed: bool) -> dict:
     ]
     if routed:
         cmd.append("--routed-export")
+    if noop:
+        cmd.append("--dry-run")
     env = dict(os.environ, PYTHONPATH=REPO)
     t0 = time.time()
     r = subprocess.run(cmd, capture_output=True, text=True, env=env,
@@ -55,9 +63,10 @@ def main() -> None:
     lo = int(os.environ.get("LO", "4"))
     hi = int(os.environ.get("HI", "16"))
     routed = os.environ.get("ROUTED", "1") == "1"
+    noop = os.environ.get("SINK", "parquet") == "noop"
     load0 = round(os.getloadavg()[0], 1)
-    hi_leg = run_leg(hi, inp, routed)
-    lo_leg = run_leg(lo, inp, routed)
+    hi_leg = run_leg(hi, inp, routed, noop)
+    lo_leg = run_leg(lo, inp, routed, noop)
     # efficiency over the JOB's own wall (excludes JVM start, which a real
     # cluster pays once per executor fleet, not per measurement)
     eff = (lo_leg["wall_seconds"] / hi_leg["wall_seconds"]) / (hi / lo)
@@ -65,6 +74,7 @@ def main() -> None:
         "metric": "full_import_scaling",
         "n_points": hi_leg["n_points"],
         "routed_export": routed,
+        "sink": "noop" if noop else "parquet",
         "lo_cpus": lo, "hi_cpus": hi,
         "lo_wall_s": lo_leg["wall_seconds"],
         "hi_wall_s": hi_leg["wall_seconds"],
