@@ -125,12 +125,23 @@ def main() -> int:
         sections[name] = round(now - _last, 1)
         _last = now
 
-    # 2. input
+    # 2. input — project to the three point columns BEFORE the persist
+    # below: every downstream consumer (unit restriction, count, the
+    # containment join) needs only (image_id, lon, lat). Persisting the
+    # full tag-mapped row (caption, tags map — and at production scale the
+    # image `bytes` payload) multiplies the store's footprint, and at high
+    # core counts the resulting execution-memory pressure evicts partitions
+    # to disk mid-join (measured: the 16-core leg's per-row rate degraded
+    # 740k→500k rows/s at 96M while the 4-core leg held steady)
     if args.input:
         images = spark.read.parquet(args.input)
     else:
         images = fixtures.images_df(spark, args.n_images, with_pixels=False)
-    pts = tagf.with_tags(images).filter(F.col("lon").isNotNull())
+    pts = (
+        tagf.with_tags(images)
+        .filter(F.col("lon").isNotNull())
+        .select("image_id", "lon", "lat")
+    )
 
     # 2b. append start (I2): a diff invalidates exactly the coarse cells it
     # touches — the join below recomputes ONLY those units (their partition

@@ -59,7 +59,20 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.execution.arrow.maxBytesPerBatch", str(64 * 1024 * 1024))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # input split size — also the task granularity of every map-only
+        # stage over a parquet source (the flagship join's point side).
+        # Point parquet is spatially clustered (sequential ids ≈ nearby
+        # cells), so coarse 128 MB splits concentrate the refine stage's
+        # boundary-point work in a few tasks: at 16 cores the straggler
+        # tail halves the join's effective rate. Finer splits cost nothing
+        # (no shuffle) and let the scheduler balance the skew; override per
+        # workload via $SPARK_GRAFT_MAX_PARTITION_BYTES.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get(
+                "SPARK_GRAFT_MAX_PARTITION_BYTES", str(32 * 1024 * 1024)
+            ),
+        )
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
