@@ -22,6 +22,7 @@ import json
 import os
 import sys
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -117,6 +118,47 @@ def main() -> int:
         return 2
 
     sections: dict[str, float] = {}
+
+    # The job's stage DAG has two independent chains until the containment
+    # join: the VARIABLE-size point side (read → tag parse → persist) and
+    # the FIXED-size feature world (layer mapping → relation dedup → nested
+    # rebuild → layer-table export). Running them serially charges the
+    # fixed-world wall to every job regardless of core count — the Amdahl
+    # term that capped the measured full-job scaling pairs (BASELINE.md
+    # §Full-JOB scaling: ~26 s flat at both 4 and 16 cores against a
+    # 141 s 16-core leg). A real cluster driver submits independent stage
+    # DAGs concurrently; the same pattern here: the fixed world builds on a
+    # second driver thread while the point side materializes, and the
+    # export runs concurrently with the checkpointed join (disjoint output
+    # dirs, journal appends are concurrent-safe). FAIR scheduler pools
+    # (session.py) give both chains task slots; under FIFO (e.g. an
+    # already-running test session) the overlap degrades gracefully to
+    # leftover-slot scheduling with identical results.
+    pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="fixed-world")
+
+    def build_fixed_world():
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "fixed_world")
+        t = time.time()
+        # 3. layer mapping over one shared scan (feature side: fixture world)
+        osm = fixtures.osm_objects_df(spark).cache()
+        tables = build_layer_tables(osm, layerset=args.layerset)
+        # 4. post-processing: relation dedup always precedes the join (it
+        # defines the place_polygon table); the nested rebuild runs on fresh
+        # imports (run_post_sql) AND at append finish (I3 —
+        # replication_functions.sql:22-38 refreshes derived artifacts after
+        # applying a diff). The rebuild runs eager jobs — charged here, so
+        # pip_join_checkpointed reports only the checkpointed join.
+        if "place_polygon" in tables:
+            tables["place_polygon"] = relation_member_dedup(tables["place_polygon"])
+            if not args.skip_nested and (mode.run_post_sql or args.mode == "append"):
+                tables["place_polygon_nested"] = build_nested_admin_polygons(
+                    tables["place_polygon"].filter(F.col("geom_wkb").isNotNull())
+                )
+        sections["layer_post_processing"] = round(time.time() - t, 1)
+        return osm, tables
+
+    fut_world = pool.submit(build_fixed_world)
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", "points")
     _last = time.time()
 
     def mark(name: str) -> None:
@@ -176,27 +218,46 @@ def main() -> int:
     n_pts = pts.count()
     mark("points_materialize")
 
-    # 3. layer mapping over one shared scan (feature side: fixture world)
-    osm = fixtures.osm_objects_df(spark).cache()
-    tables = build_layer_tables(osm, layerset=args.layerset)
+    # barrier: the join needs place_polygon; a fixed-world failure surfaces
+    # here (future re-raises), not as a hung join
+    osm, tables = fut_world.result()
 
-    # 4. post-processing: relation dedup always precedes the join (it defines
-    # the place_polygon table); the nested rebuild runs on fresh imports
-    # (run_post_sql) AND at append finish (I3 — replication_functions.sql:22-38
-    # refreshes derived artifacts after applying a diff)
-    if "place_polygon" in tables:
-        tables["place_polygon"] = relation_member_dedup(tables["place_polygon"])
-        if not args.skip_nested and (mode.run_post_sql or args.mode == "append"):
-            tables["place_polygon_nested"] = build_nested_admin_polygons(
-                tables["place_polygon"].filter(F.col("geom_wkb").isNotNull())
+    # 6 (concurrent with 5). export bundle — routed mode writes every raw
+    # layer table in ONE source scan (layers/router.py); post-processed
+    # tables (deduped place_polygon, derived nested) go through as
+    # overrides either way. Independent of the join's output dir, so it
+    # runs on the fixed-world thread while the join runs here.
+    def do_export():
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "export")
+        t = time.time()
+        if args.routed_export:
+            from pgosm_flex_spark.sinks import export_bundle_routed
+
+            overrides = {
+                n: tables[n]
+                for n in ("place_polygon", "place_polygon_nested")
+                if n in tables
+            }
+            m = export_bundle_routed(
+                spark, osm, args.out, region=args.region,
+                layerset=args.layerset, pgosm_date=args.date,
+                overrides=overrides, dry_run=args.dry_run,
             )
-    # the nested rebuild runs eager jobs — charge them to their own section
-    # so pip_join_checkpointed reports only the checkpointed join
-    mark("layer_post_processing")
+        else:
+            m = export_bundle(
+                spark, tables, args.out, region=args.region,
+                layerset=args.layerset, pgosm_date=args.date,
+                dry_run=args.dry_run,
+            )
+        sections["export_bundle"] = round(time.time() - t, 1)
+        return m
+
+    fut_export = pool.submit(do_export)
 
     # 5. flagship containment join, checkpointed per coarse cell; in append
     # mode pts is already restricted to touched cells and the dated job_id
     # makes their units recompute while untouched unit dirs persist
+    _last = time.time()
     pair_metrics = {}
     if "place_polygon" in tables:
         polys = tables["place_polygon"].filter(F.col("geom_wkb").isNotNull())
@@ -213,29 +274,8 @@ def main() -> int:
         )
     mark("pip_join_checkpointed")
 
-    # 6. export bundle — routed mode writes every raw layer table in ONE
-    # source scan (layers/router.py); post-processed tables (deduped
-    # place_polygon, derived nested) go through as overrides either way
-    if args.routed_export:
-        from pgosm_flex_spark.sinks import export_bundle_routed
-
-        overrides = {
-            n: tables[n]
-            for n in ("place_polygon", "place_polygon_nested")
-            if n in tables
-        }
-        manifest = export_bundle_routed(
-            spark, osm, args.out, region=args.region,
-            layerset=args.layerset, pgosm_date=args.date, overrides=overrides,
-            dry_run=args.dry_run,
-        )
-    else:
-        manifest = export_bundle(
-            spark, tables, args.out, region=args.region,
-            layerset=args.layerset, pgosm_date=args.date,
-            dry_run=args.dry_run,
-        )
-    mark("export_bundle")
+    manifest = fut_export.result()
+    pool.shutdown(wait=True)
     manifest["pip_units"] = {
         "total": len(pair_metrics),
         "skipped_resume": sum(1 for m in pair_metrics.values() if m.get("skipped")),

@@ -73,6 +73,13 @@ def get_spark(
                 "SPARK_GRAFT_MAX_PARTITION_BYTES", str(32 * 1024 * 1024)
             ),
         )
+        # FAIR scheduling between pools: the import job submits its two
+        # independent stage chains (variable-size point side, fixed-size
+        # feature world / export) from separate driver threads tagged with
+        # separate pools, so the small fixed-world stages get task slots
+        # while a large scan is in flight instead of queueing behind it.
+        # Single-job workloads are unaffected (one pool, no competition).
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
