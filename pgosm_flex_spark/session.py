@@ -88,6 +88,16 @@ def get_spark(
         builder = builder.master(master)
     elif SparkSession.getActiveSession() is None:
         builder = builder.master(f"local[{cores}]")
+    # cluster-mode plumbing for plain-python drivers (no spark-submit):
+    # a JSON dict of confs, e.g. spark.cores.max / spark.executor.cores /
+    # spark.executorEnv.PYTHONPATH, so the same jobs run unchanged against
+    # a standalone master (tools/cluster_scaling.py topology)
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if env_conf:
+        import json
+
+        for k, v in json.loads(env_conf).items():
+            builder = builder.config(k, str(v))
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -47,6 +47,22 @@ def run_leg(cpus: int, inp: str, routed: bool, noop: bool = False) -> dict:
     if noop:
         cmd.append("--dry-run")
     env = dict(os.environ, PYTHONPATH=REPO)
+    if os.environ.get("CLUSTER") == "1":
+        # N-vs-4N EXECUTOR mode: the leg's parallelism comes from executor
+        # count against the standalone master (tools/cluster_scaling.py
+        # topology), not local[n] threads — each executor is its own JVM
+        ec = int(os.environ.get("EXECUTOR_CORES", "4"))
+        env["SPARK_GRAFT_MASTER"] = os.environ.get(
+            "MASTER_URL", "spark://127.0.0.1:7077"
+        )
+        env["SPARK_GRAFT_DRIVER_MEM"] = os.environ.get("DRIVER_MEM", "12g")
+        env["SPARK_GRAFT_EXTRA_CONF"] = json.dumps({
+            "spark.cores.max": cpus,
+            "spark.executor.cores": ec,
+            "spark.executor.memory": os.environ.get("EXECUTOR_MEM", "18g"),
+            "spark.executorEnv.PYTHONPATH": REPO,
+            "spark.pyspark.python": sys.executable,
+        })
     t0 = time.time()
     r = subprocess.run(cmd, capture_output=True, text=True, env=env,
                        timeout=3600, check=True)
