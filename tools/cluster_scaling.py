@@ -128,6 +128,11 @@ def run_leg(zip_path: str, total_cores: int, n_points: int, reps: int) -> dict:
 def main() -> None:
     n_points = int(sys.argv[1]) if len(sys.argv) > 1 else 48_000_000
     reps = int(os.environ.get("REPS", "2"))
+    # strong (default): same input both legs — the north rule's literal
+    # criterion. weak: fixed per-executor work (low leg gets n/4) — the
+    # production 100 TB question, where the fleet grows WITH the data;
+    # ideal is equal wall time, eff = T_1exec / T_4exec.
+    weak = os.environ.get("MODE", "strong") == "weak"
 
     zip_path = os.path.join(tempfile.mkdtemp(), "pgosm_flex_spark.zip")
     subprocess.run(["zip", "-qr", zip_path, "pgosm_flex_spark"],
@@ -137,13 +142,18 @@ def main() -> None:
     try:
         # high leg (4N executors) first — needs the quiet window most
         high = run_leg(zip_path, 4 * EXECUTOR_CORES, n_points, reps)
-        low = run_leg(zip_path, EXECUTOR_CORES, n_points, reps)
+        low = run_leg(zip_path, EXECUTOR_CORES,
+                      n_points // 4 if weak else n_points, reps)
     finally:
         stop_cluster()
 
-    eff = round(low["pip_secs_best"] / high["pip_secs_best"] / 4.0, 3)
+    if weak:
+        eff = round(low["pip_secs_best"] / high["pip_secs_best"], 3)
+    else:
+        eff = round(low["pip_secs_best"] / high["pip_secs_best"] / 4.0, 3)
     print(json.dumps({
         "topology": f"standalone, executor JVMs of {EXECUTOR_CORES} cores",
+        "mode": "weak" if weak else "strong",
         "n_points": n_points,
         "executors_1": low,
         "executors_4": high,
