@@ -86,6 +86,22 @@ def get_spark(
     master = os.environ.get("SPARK_GRAFT_MASTER")
     if master:
         builder = builder.master(master)
+        if master.startswith("spark://"):
+            # standalone-cluster defaults so every local[k] tool runs
+            # unchanged against the executor topology: `cores` becomes the
+            # fleet's core cap (executor count = cores / executor-cores),
+            # executors find the library via PYTHONPATH (same host)
+            import sys as _sys
+
+            repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            for k, v in {
+                "spark.cores.max": str(cores),
+                "spark.executor.cores": os.environ.get("EXECUTOR_CORES", "4"),
+                "spark.executor.memory": os.environ.get("EXECUTOR_MEM", "18g"),
+                "spark.executorEnv.PYTHONPATH": repo_root,
+                "spark.pyspark.python": _sys.executable,
+            }.items():
+                builder = builder.config(k, v)
     elif SparkSession.getActiveSession() is None:
         builder = builder.master(f"local[{cores}]")
     # cluster-mode plumbing for plain-python drivers (no spark-submit):
