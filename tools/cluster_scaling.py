@@ -88,7 +88,22 @@ def stop_cluster() -> None:
                        capture_output=True)
 
 
+def wait_quiet(threshold: float, max_wait_s: float = 600.0) -> None:
+    """Block until 1-min load < threshold (or max_wait_s elapses).
+
+    A leg launched into the previous leg's load decay measures the decay,
+    not the topology: pair 5 (BASELINE.md) launched its 1-executor leg at
+    ambient 8.2 and read 48.4 s where quiet pairs read 47.3 s.
+    """
+    deadline = time.time() + max_wait_s
+    while os.getloadavg()[0] >= threshold and time.time() < deadline:
+        time.sleep(10)
+
+
 def run_leg(zip_path: str, total_cores: int, n_points: int, reps: int) -> dict:
+    quiet = float(os.environ.get("WAIT_QUIET", "0"))
+    if quiet > 0:
+        wait_quiet(quiet)
     env = dict(os.environ)
     env.update(
         SPARK_GRAFT_MASTER=MASTER_URL,
