@@ -211,6 +211,39 @@ def test_pip_shuffle_salted_matches_broadcast(world, points, spark):
     assert got_bc == got_sh and len(got_bc) > 0
 
 
+def test_pip_join_explicit_res_levels_matches_probe(world, points, spark):
+    """Passing the cover's res_levels explicitly (what the scaling jobs do to
+    hoist the fixed driver probe out of timed reps) must be row-identical to
+    the probing path; a superset of levels must also be harmless (levels with
+    no cover rows contribute nothing)."""
+    from pgosm_flex_spark.index import cells
+
+    pts_df, _ = points
+    polys = world["place_polygon"].filter(F.col("osm_id") > 0).filter(
+        F.col("geom_wkb").isNotNull()
+    )
+    cover = build_polygon_cover(polys).cache()
+    levels = sorted(
+        r["res"]
+        for r in cover.select(
+            cells.cell_res_col(F.col("cell")).alias("res")
+        ).distinct().collect()
+    )
+    probed = pip_join(pts_df, polys, point_cols=["image_id"], cover=cover)
+    explicit = pip_join(
+        pts_df, polys, point_cols=["image_id"], cover=cover, res_levels=levels
+    )
+    superset = pip_join(
+        pts_df, polys, point_cols=["image_id"], cover=cover,
+        res_levels=levels + [max(levels) + 1],
+    )
+    got_probed = {(r["image_id"], r["osm_id"]) for r in probed.collect()}
+    got_explicit = {(r["image_id"], r["osm_id"]) for r in explicit.collect()}
+    got_superset = {(r["image_id"], r["osm_id"]) for r in superset.collect()}
+    assert got_probed == got_explicit == got_superset and len(got_probed) > 0
+    cover.unpersist()
+
+
 def test_pip_join_point_side_no_shuffle(world, points, spark):
     """Scale guard: the point side of the flagship join must cross ZERO
     shuffle exchanges — cover broadcast only (BASELINE.md plan audit)."""

@@ -100,10 +100,34 @@ def wait_quiet(threshold: float, max_wait_s: float = 600.0) -> None:
         time.sleep(10)
 
 
+def membw_probe_gbps(n_bytes: int = 200_000_000, tries: int = 3) -> float:
+    """Best-of-N single-thread memcpy bandwidth (GB/s) — a host-phase score.
+
+    The 48M-point legs are memory-bandwidth-bound, so external pressure that
+    load-average misses (a neighbor saturating the bus at low process count)
+    shows up here: pairs 7-9 (BASELINE.md) launched at load 0.28-0.35 yet ran
+    13-34% over the quiet band, the 8-core leg hit hardest. Recording the
+    score per leg makes a polluted pair self-identifying instead of only
+    diagnosable against historical leg times.
+    """
+    import numpy as np
+
+    src = np.empty(n_bytes, dtype=np.uint8)
+    dst = np.empty_like(src)
+    best = 0.0
+    for _ in range(tries):
+        t0 = time.perf_counter()
+        np.copyto(dst, src)
+        gbps = n_bytes / (time.perf_counter() - t0) / 1e9
+        best = max(best, gbps)
+    return round(best, 2)
+
+
 def run_leg(zip_path: str, total_cores: int, n_points: int, reps: int) -> dict:
     quiet = float(os.environ.get("WAIT_QUIET", "0"))
     if quiet > 0:
         wait_quiet(quiet)
+    membw = membw_probe_gbps()
     env = dict(os.environ)
     env.update(
         SPARK_GRAFT_MASTER=MASTER_URL,
@@ -137,6 +161,7 @@ def run_leg(zip_path: str, total_cores: int, n_points: int, reps: int) -> dict:
     rec = json.loads(lines[-1])
     rec["load_before"] = round(l0, 2)
     rec["load_after"] = round(os.getloadavg()[0], 2)
+    rec["membw_gbps_before"] = membw
     return rec
 
 
