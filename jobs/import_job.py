@@ -288,12 +288,13 @@ def main() -> int:
     # library-mode hygiene: nothing stays pinned in executor memory at exit
     osm.unpersist(blocking=False)
     pts.unpersist(blocking=False)
-    if args.dry_run:
-        # leave no completion marker: a dry run stores nothing, so a later
-        # real run must neither be blocked by okay_to_run nor resume past it
-        if os.path.exists(prior_path):
-            os.remove(prior_path)
-    else:
+    if not args.dry_run:
+        # a dry run writes NO completion marker (nothing was stored, so a
+        # later real run starts from scratch) — and must not DELETE one
+        # either: run over an existing real output dir, the noop sinks left
+        # every stored table intact, so the prior manifest still describes
+        # real on-disk state (export_bundle* likewise skip the manifest
+        # write under dry_run)
         with open(prior_path, "w") as f:
             json.dump(manifest, f, indent=2, sort_keys=True)
     print(json.dumps({"status": "Completed", **manifest["pip_units"],

@@ -128,7 +128,12 @@ def export_bundle(
         "tables": counts,
     }
     if dry_run:
+        # a dry run writes NOTHING to out_dir — in particular it must not
+        # overwrite the manifest of a previous real import (whose table
+        # files the noop sinks also left untouched); the dict return is the
+        # validation artifact
         manifest["dry_run"] = True
+        return manifest
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     return manifest
@@ -244,7 +249,10 @@ def export_bundle_routed(
         "tables": counts,
     }
     if dry_run:
+        # write NOTHING (same contract as export_bundle: a previous real
+        # bundle's manifest must survive a validation pass)
         manifest["dry_run"] = True
+        return manifest
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     return manifest

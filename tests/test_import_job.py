@@ -201,3 +201,26 @@ def test_dry_run_routed_export_reports_dry_manifest(spark, tmp_path):
     )
     assert rc == 0
     assert glob.glob(f"{out}/routed/layer_table=*") == []
+
+
+def test_dry_run_preserves_prior_real_manifest(spark, tmp_path):
+    # a dry run over an EXISTING real output dir must leave the real run's
+    # completion marker (and stored tables) untouched: the noop sinks wrote
+    # nothing, so the prior manifest still describes real on-disk state —
+    # an earlier implementation deleted it, breaking later append-mode runs
+    out = str(tmp_path / "real_then_dry")
+    rc = run_job(
+        ["--out", out, "--n-images", "500", "--layerset", "minimal",
+         "--skip-nested", "--unit-res", "13", "--date", "2026-02-02"]
+    )
+    assert rc == 0
+    real = json.load(open(os.path.join(out, "manifest.json")))
+    assert "dry_run" not in real
+    rc = run_job(
+        ["--out", out, "--n-images", "500", "--layerset", "minimal",
+         "--skip-nested", "--unit-res", "13", "--date", "2026-02-02",
+         "--force", "--dry-run"]
+    )
+    assert rc == 0
+    after = json.load(open(os.path.join(out, "manifest.json")))
+    assert after == real

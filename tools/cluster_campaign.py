@@ -9,7 +9,12 @@ at the deadline or once a same-window pair reaches TARGET.
   PYTHONPATH=/root/repo python tools/cluster_campaign.py [deadline_min] [n_points]
 
 Env: LOAD_MAX (default 3.0), TARGET (default 0.8),
-LOG (default /tmp/cluster_scaling_log.jsonl), SCALE_INPUT, REPS.
+LOG (default /tmp/cluster_scaling_log.jsonl), SCALE_INPUT, REPS,
+LOW_LEG_MAX (seconds; default 0 = off) — a pair only satisfies TARGET when
+its low leg ran at or under this bound. Guards against ratio-inflated
+"wins": a degraded-phase pair with a slow LOW leg (e.g. 62.7/18.2 s →
+0.862 while the quiet band's low leg is 47.3 s) measures the host phase
+hitting the denominator, not the topology. Every pair is still logged.
 """
 
 from __future__ import annotations
@@ -24,6 +29,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LOG = os.environ.get("LOG", "/tmp/cluster_scaling_log.jsonl")
 LOAD_MAX = float(os.environ.get("LOAD_MAX", "3.0"))
 TARGET = float(os.environ.get("TARGET", "0.8"))
+LOW_LEG_MAX = float(os.environ.get("LOW_LEG_MAX", "0"))
 BUSY_FLAG = "/tmp/claude_spark_busy"
 
 
@@ -65,7 +71,8 @@ def main() -> None:
             leg_best["executors_1"] / leg_best["executors_4"] / 4.0, 3
         )
         append(rec)
-        best = max(best, rec["scaling_efficiency"])
+        if not LOW_LEG_MAX or rec["executors_1"]["pip_secs_best"] <= LOW_LEG_MAX:
+            best = max(best, rec["scaling_efficiency"])
         time.sleep(30)
     append({"done": True, "best_same_window": best, "leg_best": leg_best})
 
