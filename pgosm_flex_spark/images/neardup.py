@@ -30,6 +30,7 @@ def phash_near_dup_pairs(
     id_col: str = "image_id",
     phash_col: str = "phash",
     bands: int = 4,
+    star_threshold: int | None = 1024,
 ) -> DataFrame:
     """Pairs of images with Hamming(phash) ≤ ``max_hamming``.
 
@@ -38,7 +39,13 @@ def phash_near_dup_pairs(
     ``max_hamming < bands``, so the output equals the all-pairs answer
     over rows with a non-NULL phash (decode failures have no perceptual
     hash to compare — they are filtered out up front, not silently lost
-    in the join).
+    in the join) — except inside buckets larger than ``star_threshold``,
+    which star-expand against the bucket minimum (operators/buckets.py):
+    the guard for a placeholder image duplicated 10^8× at corpus scale,
+    whose within-bucket join would otherwise emit ~10^16 rows. Identical
+    images still form identical duplicate CLUSTERS through the
+    representative (how the dedup ladder consumes these pairs);
+    ``star_threshold=None`` restores the exact unbounded join.
     """
     if max_hamming >= bands:
         raise ValueError(
@@ -67,18 +74,19 @@ def phash_near_dup_pairs(
         .select(id_col, phash_col, F.explode(band_structs).alias("bb"))
         .select(id_col, phash_col, "bb.b", "bb.bv")
     )
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col(phash_col).alias("ha"), "b", "bv"
-    )
-    bside = banded.select(
-        F.col(id_col).alias("id_b"), F.col(phash_col).alias("hb"), "b", "bv"
-    )
+    from pgosm_flex_spark.operators.buckets import bucket_pairs
+
     return (
-        a.join(bside, ["b", "bv"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "ha", "hb")
-        .distinct()
-        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        bucket_pairs(
+            banded, id_col, ["b", "bv"], star_threshold,
+            payload_cols=[phash_col],
+        )
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col(f"{phash_col}_a").bitwiseXOR(F.col(f"{phash_col}_b"))
+            ),
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

@@ -227,11 +227,16 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    star_threshold: int | None = 1024,
 ) -> DataFrame:
     """LSH candidate generation + exact word-Jaccard verification.
 
     shingle→minhash→band→bucket-join: docs sharing any band bucket become
     candidates; candidates are verified with exact word-set Jaccard.
+    ``star_threshold`` bounds the per-bucket candidate blowup
+    (operators/buckets.py star expansion — the monster-bucket guard for
+    boilerplate duplicated 10^8× at corpus scale); ``None`` = exact
+    unbounded join.
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
@@ -260,14 +265,11 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    a = banded.select(F.col(id_col).alias("doc_a"), "band", "bucket")
-    b = banded.select(F.col(id_col).alias("doc_b"), "band", "bucket")
-    cands = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    from pgosm_flex_spark.operators.buckets import bucket_pairs
+
+    cands = bucket_pairs(
+        banded, id_col, ["band", "bucket"], star_threshold
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     ws = word_sets(documents, text_col, id_col)
     wa = ws.select(F.col(id_col).alias("doc_a"), F.col("words").alias("wa"))
     wb = ws.select(F.col(id_col).alias("doc_b"), F.col("words").alias("wb"))
@@ -330,12 +332,14 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     prefix_bits: int = 16,
+    star_threshold: int | None = 1024,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
     Blocking: docs are bucketed by each of the 4 16-bit simhash quarters
     (pigeonhole: ≤3 differing bits leave at least one quarter identical), so
-    the self-join is per-bucket, not all-pairs."""
+    the self-join is per-bucket, not all-pairs; ``star_threshold`` bounds
+    oversized buckets by star expansion (operators/buckets.py)."""
     sigs = simhash_signatures(documents, text_col, id_col).cache()
     quarter_structs = F.array(
         *[
@@ -349,14 +353,21 @@ def simhash_pairs(
     quarters = sigs.select(
         id_col, "simhash", F.explode(quarter_structs).alias("qq")
     ).select(id_col, "simhash", "qq.q", "qq.qv")
-    a = quarters.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sa"), "q", "qv")
-    b = quarters.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sb"), "q", "qv")
+    from pgosm_flex_spark.operators.buckets import bucket_pairs
+
     return (
-        a.join(b, ["q", "qv"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sa", "sb")
-        .distinct()
-        .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        bucket_pairs(
+            quarters, id_col, ["q", "qv"], star_threshold,
+            payload_cols=["simhash"],
+        )
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))),
+        )
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            "hamming",
+        )
     )

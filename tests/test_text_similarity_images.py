@@ -311,3 +311,70 @@ def test_phash_near_dup_rejects_bad_bands(spark):
         phash_near_dup_pairs(df, max_hamming=4, bands=4)
     with pytest.raises(ValueError):
         phash_near_dup_pairs(df, bands=5)
+
+
+def test_star_threshold_bounds_monster_buckets_same_clusters(spark):
+    """The monster-bucket guard (operators/buckets.py star expansion): a
+    phash duplicated across many images would make the within-bucket join
+    quadratic; with star_threshold the candidate count is linear in the
+    bucket AND the duplicate CLUSTERS (the ladder's actual product, via
+    connected_components) equal the exact unbounded join's."""
+    from pgosm_flex_spark.images.neardup import phash_near_dup_pairs
+    from pgosm_flex_spark.operators.components import connected_components
+
+    rng = np.random.default_rng(11)
+    monster = np.full(60, 0x1234_5678_9ABC_DEF0, dtype=np.int64)
+    variants = monster[:4] ^ np.int64(1 << 9)  # 1-bit re-encodes of the dup
+    distinct = rng.integers(-(2**63), 2**63, size=30, dtype=np.int64)
+    hashes = np.concatenate([monster, variants, distinct])
+    ids = [f"m{k:04d}" for k in range(len(hashes))]
+    df = spark.createDataFrame(pd.DataFrame({"image_id": ids, "phash": hashes}))
+
+    exact = phash_near_dup_pairs(df, max_hamming=2, star_threshold=None)
+    starred = phash_near_dup_pairs(df, max_hamming=2, star_threshold=8)
+    n_exact, n_star = exact.count(), starred.count()
+    # 64 bucket-mates -> 2016 exact pairs; star expansion keeps it linear
+    assert n_exact > 1900 and n_star < 200
+
+    def clusters(pairs_df):
+        comp = connected_components(pairs_df, src="id_a", dst="id_b")
+        return {
+            tuple(sorted(r["members"]))
+            for r in comp.groupBy("component")
+            .agg(F.collect_set("node").alias("members"))
+            .collect()
+        }
+
+    assert clusters(starred) == clusters(exact)
+    # every monster member + variant is in the one big cluster either way
+    big = max(clusters(starred), key=len)
+    assert len(big) == 64
+
+
+def test_minhash_star_threshold_same_verified_clusters(docs, spark):
+    """Boilerplate text duplicated beyond star_threshold: verified-pair
+    clusters equal the exact join's (all copies share identical signatures,
+    so every star pair passes the exact-Jaccard verification)."""
+    from pgosm_flex_spark.operators.components import connected_components
+
+    boiler = [(100 + k, "lorem ipsum boiler plate text repeated verbatim")
+              for k in range(40)]
+    base = docs.select("doc_id", "text")
+    extra = spark.createDataFrame(boiler, schema="doc_id long, text string")
+    corpus = base.unionByName(extra)
+
+    exact = dedup.minhash_lsh_pairs(corpus, threshold=0.5, star_threshold=None)
+    starred = dedup.minhash_lsh_pairs(corpus, threshold=0.5, star_threshold=8)
+    assert starred.count() < exact.count()
+
+    def clusters(pairs_df):
+        comp = connected_components(pairs_df, src="doc_a", dst="doc_b")
+        return {
+            tuple(sorted(r["members"]))
+            for r in comp.groupBy("component")
+            .agg(F.collect_set("node").alias("members"))
+            .collect()
+        }
+
+    assert clusters(starred) == clusters(exact)
+    assert any(len(c) >= 40 for c in clusters(starred))
