@@ -67,43 +67,61 @@ def bucket_pairs(
             .select(*out_cols)
             .distinct()
         )
-    stats = banded.groupBy(*key_cols).agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.min(id_col).alias("__rep"),
-        *[F.min_by(c, id_col).alias(f"__rep_{c}") for c in pay],
+    # the guard's marginal cost over the exact join is ONE map-side-
+    # combinable aggregation (bucket size + min id) broadcast onto the
+    # RIGHT self-join side: a right row survives iff its bucket is small
+    # (full pairing) or it IS the bucket's min-id representative (star
+    # expansion), so oversized buckets contribute O(n) join matches instead
+    # of O(n²) while the plan keeps the exact join's shape — same two side
+    # scans, same single pair join, same distinct. Earlier formulations
+    # (separate anti-join + star branch + rep-payload broadcast) each
+    # measured 2-4× end-to-end at sf0.1: every extra exchange is a
+    # serialized AQE job, `min_by`/`min(struct)` stats degrade to
+    # SortAggregate (a full Sort of banded per broadcast build), and
+    # column pruning gave each broadcast consumer a distinct agg projection
+    # so ReuseExchange never fired. Folding the guard into the right side's
+    # map chain removes all of that; the rep's payload rides its own row.
+    stats = F.broadcast(
+        banded.groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(id_col).alias("__rep"),
+        )
+        .filter(F.col("__n") > star_threshold)
     )
-    ann = banded.join(stats, key_cols)
-    small = ann.filter(F.col("__n") <= star_threshold)
-    big = ann.filter(F.col("__n") > star_threshold)
-    small_a = small.select(
-        F.col(id_col).alias("id_a"),
-        *[F.col(c).alias(f"{c}_a") for c in pay],
-        *key_cols,
+    right = (
+        banded.join(stats, key_cols, "left")
+        .filter(F.col("__n").isNull() | (F.col(id_col) == F.col("__rep")))
+        .select(
+            F.col(id_col).alias("id_b"),
+            *[F.col(c).alias(f"{c}_b") for c in pay],
+            F.col("__n").alias("__n_b"),
+            *key_cols,
+        )
     )
-    small_b = small.select(
-        F.col(id_col).alias("id_b"),
-        *[F.col(c).alias(f"{c}_b") for c in pay],
-        *key_cols,
+    # small buckets pair once via id_a < id_b (right holds every member);
+    # oversized buckets pair each member with the rep (right holds only the
+    # rep, the bucket's MIN id, so id_a > id_b there — least/greatest
+    # restores the id_a < id_b output convention).
+    emit = F.when(F.col("__n_b").isNull(), F.col("id_a") < F.col("id_b")).otherwise(
+        F.col("id_a") != F.col("id_b")
     )
-    small_pairs = (
-        small_a.join(small_b, key_cols)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(*out_cols)
+    a_first = F.col("id_a") < F.col("id_b")
+    return (
+        side("a")
+        .join(right, key_cols)
+        .filter(emit)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            *[
+                expr.alias(name)
+                for c in pay
+                for name, expr in (
+                    (f"{c}_a", F.when(a_first, F.col(f"{c}_a")).otherwise(F.col(f"{c}_b"))),
+                    (f"{c}_b", F.when(a_first, F.col(f"{c}_b")).otherwise(F.col(f"{c}_a"))),
+                )
+            ],
+        )
+        .distinct()
     )
-    # star expansion: member ↔ bucket representative (min id); the member
-    # may sort before or after the rep id-wise only when ids tie-break
-    # oddly — least/greatest keeps the (id_a < id_b) convention either way
-    member_first = F.col(id_col) < F.col("__rep")
-    star_pairs = big.filter(F.col(id_col) != F.col("__rep")).select(
-        F.least(id_col, "__rep").alias("id_a"),
-        F.greatest(id_col, "__rep").alias("id_b"),
-        *[
-            expr.alias(name)
-            for c in pay
-            for name, expr in (
-                (f"{c}_a", F.when(member_first, F.col(c)).otherwise(F.col(f"__rep_{c}"))),
-                (f"{c}_b", F.when(member_first, F.col(f"__rep_{c}")).otherwise(F.col(c))),
-            )
-        ],
-    )
-    return small_pairs.unionByName(star_pairs).distinct()

@@ -240,7 +240,11 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sigs = minhash_signatures(documents, num_hashes, shingle_k, text_col, id_col)
+    # cache: the signature stage (shingle hash + permutation UDF) is the
+    # expensive leg and every downstream consumer — both self-join sides
+    # plus the bucket-size guard — re-executes its lineage otherwise (same
+    # pattern as simhash_pairs). One compact row per doc.
+    sigs = minhash_signatures(documents, num_hashes, shingle_k, text_col, id_col).cache()
     # one plain (codegen-able) struct per band, band index a literal: hashing
     # the sig elements directly keeps the whole banding inside WholeStageCodegen.
     # The previous formulation — transform(sequence(0, bands-1), lambda with
