@@ -378,3 +378,41 @@ def test_minhash_star_threshold_same_verified_clusters(docs, spark):
 
     assert clusters(starred) == clusters(exact)
     assert any(len(c) >= 40 for c in clusters(starred))
+
+
+def test_bucket_pairs_payload_binding_and_star_semantics(spark):
+    """Direct bucket_pairs contract: the Hamming verifiers downstream are
+    XOR-symmetric, so a payload attached to the WRONG side of a pair would
+    pass every cluster-equality test — pin payload-to-id binding here.
+
+    One small bucket (full pairing), one oversized bucket (star expansion
+    against the min id), payload = a deterministic function of the id.
+    """
+    from pgosm_flex_spark.operators.buckets import bucket_pairs
+
+    def pay(i: int) -> int:
+        return i * 1000 + 7
+
+    rows = [(i, 0, 0, pay(i)) for i in (3, 1, 4)]  # small bucket, key (0,0)
+    rows += [(i, 0, 9, pay(i)) for i in range(100, 120)]  # monster, key (0,9)
+    banded = spark.createDataFrame(
+        rows, schema="id long, band int, bucket int, p long"
+    )
+    out = bucket_pairs(
+        banded, "id", ["band", "bucket"], star_threshold=8, payload_cols=["p"]
+    ).collect()
+
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    small_expected = {(1, 3), (1, 4), (3, 4)}
+    star_expected = {(100, i) for i in range(101, 120)}
+    assert got == small_expected | star_expected
+    # ordering convention and payload binding, row by row
+    for r in out:
+        assert r["id_a"] < r["id_b"]
+        assert r["p_a"] == pay(r["id_a"])
+        assert r["p_b"] == pay(r["id_b"])
+    # exact path agrees on the small bucket and blows up the monster one
+    exact = bucket_pairs(
+        banded, "id", ["band", "bucket"], star_threshold=None, payload_cols=["p"]
+    )
+    assert exact.count() == 3 + 19 * 20 // 2
