@@ -997,7 +997,13 @@ def q_hash_recall_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical text → identical signature → found by construction (all LSH
     bands collide / hamming 0 through the quarter blocking). The
     text-equality join pins precision, so the oracle for both methods is the
-    plain text self-join."""
+    plain text self-join. The simhash leg runs collapse_identical=False:
+    this query proves PAIR-level recall of the banding itself, and a real
+    cross-text simhash collision (present in this fixture: doc 393 hashes
+    identically to the 420 dup group) would otherwise become the group rep
+    and hide the intra-group pair behind text-pinned star rows. The collapse
+    branch has its own value oracle in phash_near_dups (identical planted
+    values through the shared hamming_band_pairs)."""
     docs = _dup_docs(spark, sf_dir)
 
     def pinned(pairs: DataFrame, method: str) -> DataFrame:
@@ -1009,7 +1015,10 @@ def q_hash_recall_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     mh = pinned(dedup.minhash_lsh_pairs(docs, threshold=1.0), "minhash")
-    sh = pinned(dedup.simhash_pairs(docs, max_hamming=0), "simhash")
+    sh = pinned(
+        dedup.simhash_pairs(docs, max_hamming=0, collapse_identical=False),
+        "simhash",
+    )
     return mh.unionByName(sh).orderBy("method", "doc_a", "doc_b")
 
 
@@ -1036,8 +1045,26 @@ def q_cc_block_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         (i + 1).alias("src"), i.alias("dst")
     )
     cut = ev.filter(i % 17 == 5).select(i.alias("src"), (blk + 50).alias("dst"))
-    edges = fwd.unionByName(rev).unionByName(cut)
-    return connected_components(edges).orderBy("node")
+    # bound both endpoints to ids that exist: when the event count is not a
+    # multiple of 100 the last block is partial, so i+1 / blk+50 can point
+    # past the real id range — the oracle enumerates events only, and a
+    # fabricated node would diverge at any non-round scale factor
+    nodes = ev.select(i.alias("node"))
+    edges = (
+        fwd.unionByName(rev)
+        .unionByName(cut)
+        .join(nodes.select(F.col("node").alias("src")), "src", "semi")
+        .join(nodes.select(F.col("node").alias("dst")), "dst", "semi")
+    )
+    comp = connected_components(edges)
+    # a partial block consisting of only its start node has no edges at all;
+    # connected_components omits edgeless nodes, and such a node is its own
+    # block minimum — coalesce to self keeps the closed-form answer exact
+    return (
+        nodes.join(comp, "node", "left")
+        .select("node", F.coalesce("component", F.col("node")).alias("component"))
+        .orderBy("node")
+    )
 
 
 def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1124,10 +1151,12 @@ def q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     Structural-recall oracle: each event seeds a 4-variant family over an
     xxhash64 base — pha/phb identical (hamming 0), phc flips bit 0
     (hamming 1), phd flips one bit in each of bands 1-3 (band-0 candidate,
-    hamming 3, REJECTED by the exact verify at max_hamming=2) — so the
-    complete answer is exactly {(a,b,0),(a,c,1),(b,c,1)} per family by
-    construction (accidental cross-family hamming ≤ 2 between xxhash64
-    values is ~1e-8 over this corpus)."""
+    hamming 3, REJECTED by the exact verify at max_hamming=2). The
+    identical-value collapse (hamming_band_pairs) makes pha the
+    representative of the {pha, phb} group, so the complete answer is
+    exactly {(a,b,0),(a,c,1)} per family by construction — (b,c) arrives
+    through the rep, cluster-equivalently (accidental cross-family
+    hamming ≤ 2 between xxhash64 values is ~1e-8 over this corpus)."""
     from pgosm_flex_spark.images.neardup import phash_near_dup_pairs
 
     base = (
@@ -1878,10 +1907,11 @@ def oracle_sql() -> dict[str, str]:
     """
     # phash_near_dups: structural-recall oracle (see q_phash_near_dups) —
     # each event family plants 4 phash variants whose pairwise Hamming
-    # distances are fixed by construction (0/1/1 in, 3/3/4 out at
-    # max_hamming=2), so the complete banded answer is enumerable without
-    # recomputing xxhash64 (cross-family 64-bit near-collisions ~1e-8 and
-    # deterministic).
+    # distances are fixed by construction; pha/phb are identical, so the
+    # identical-value collapse emits (pha, phb, 0) as a rep-star row and
+    # only pha (the rep) joins phc at hamming 1 — (phb, phc) arrives via
+    # the rep, cluster-equivalently. Enumerable without recomputing
+    # xxhash64 (cross-family 64-bit near-collisions ~1e-8, deterministic).
     out["phash_near_dups"] = """
         WITH k AS (
             SELECT lpad(CAST(event_id AS VARCHAR), 8, '0') AS k
@@ -1890,9 +1920,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'pha' || k AS id_a, 'phb' || k AS id_b,
                    CAST(0 AS INT) AS hamming FROM k
             UNION ALL
-            SELECT 'pha' || k, 'phc' || k, CAST(1 AS INT) FROM k
-            UNION ALL
-            SELECT 'phb' || k, 'phc' || k, CAST(1 AS INT) FROM k)
+            SELECT 'pha' || k, 'phc' || k, CAST(1 AS INT) FROM k)
         ORDER BY id_a, id_b
     """
     return out

@@ -242,12 +242,16 @@ def main() -> int:
                 spark, osm, args.out, region=args.region,
                 layerset=args.layerset, pgosm_date=args.date,
                 overrides=overrides, dry_run=args.dry_run,
+                # the job writes the completion marker itself AFTER the
+                # containment join finishes — an early manifest here would
+                # mark a run whose join later crashed as completed
+                write_manifest=False,
             )
         else:
             m = export_bundle(
                 spark, tables, args.out, region=args.region,
                 layerset=args.layerset, pgosm_date=args.date,
-                dry_run=args.dry_run,
+                dry_run=args.dry_run, write_manifest=False,
             )
         sections["export_bundle"] = round(time.time() - t, 1)
         return m

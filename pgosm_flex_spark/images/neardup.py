@@ -31,62 +31,29 @@ def phash_near_dup_pairs(
     phash_col: str = "phash",
     bands: int = 4,
     star_threshold: int | None = 1024,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """Pairs of images with Hamming(phash) ≤ ``max_hamming``.
 
-    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``, exact and
-    complete: the pigeonhole guarantee makes banding lossless for
-    ``max_hamming < bands``, so the output equals the all-pairs answer
-    over rows with a non-NULL phash (decode failures have no perceptual
-    hash to compare — they are filtered out up front, not silently lost
-    in the join) — except inside buckets larger than ``star_threshold``,
-    which star-expand against the bucket minimum (operators/buckets.py):
-    the guard for a placeholder image duplicated 10^8× at corpus scale,
-    whose within-bucket join would otherwise emit ~10^16 rows. Identical
-    images still form identical duplicate CLUSTERS through the
-    representative (how the dedup ladder consumes these pairs);
-    ``star_threshold=None`` restores the exact unbounded join.
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``: the pigeonhole
+    guarantee makes banding lossless for ``max_hamming < bands``, over rows
+    with a non-NULL phash (decode failures have no perceptual hash to
+    compare — they are filtered out up front, not silently lost in the
+    join). Identical phash values collapse to one representative before
+    banding (``collapse_identical``) and arrive as (rep, member, 0) rows —
+    the exact defense for a placeholder image duplicated 10^8× at corpus
+    scale; ``star_threshold`` backstops buckets of DISTINCT values.
+    Semantics, trades, and the all-pairs opt-out:
+    operators/buckets.py:hamming_band_pairs.
     """
-    if max_hamming >= bands:
-        raise ValueError(
-            f"pigeonhole needs bands > max_hamming (got bands={bands}, "
-            f"max_hamming={max_hamming}): a pair may otherwise differ in "
-            "every band and never become a candidate"
-        )
-    if 64 % bands:
-        raise ValueError(f"bands={bands} must divide 64")
-    width = 64 // bands
-    mask = (1 << width) - 1
+    from pgosm_flex_spark.operators.buckets import hamming_band_pairs
 
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(q).alias("b"),
-                F.shiftright(F.col(phash_col), q * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("bv"),
-            )
-            for q in range(bands)
-        ]
-    )
-    banded = (
-        images.filter(F.col(phash_col).isNotNull())
-        .select(id_col, phash_col, F.explode(band_structs).alias("bb"))
-        .select(id_col, phash_col, "bb.b", "bb.bv")
-    )
-    from pgosm_flex_spark.operators.buckets import bucket_pairs
-
-    return (
-        bucket_pairs(
-            banded, id_col, ["b", "bv"], star_threshold,
-            payload_cols=[phash_col],
-        )
-        .withColumn(
-            "hamming",
-            F.bit_count(
-                F.col(f"{phash_col}_a").bitwiseXOR(F.col(f"{phash_col}_b"))
-            ),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    return hamming_band_pairs(
+        images,
+        id_col,
+        phash_col,
+        bands=bands,
+        max_hamming=max_hamming,
+        star_threshold=star_threshold,
+        collapse_identical=collapse_identical,
     )

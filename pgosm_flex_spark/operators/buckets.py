@@ -81,7 +81,14 @@ def bucket_pairs(
     # column pruning gave each broadcast consumer a distinct agg projection
     # so ReuseExchange never fired. Folding the guard into the right side's
     # map chain removes all of that; the rep's payload rides its own row.
-    stats = F.broadcast(
+    # no broadcast HINT: stats is usually tiny (one row per oversized
+    # bucket) and AQE, seeing the post-aggregation size exactly, converts
+    # the join to a runtime broadcast — but its cardinality is bounded only
+    # by total_rows/star_threshold, so on a corpus where oversized buckets
+    # are themselves numerous a forced broadcast would OOM the very run the
+    # guard exists to protect; unhinted, that case degrades to a shuffled
+    # join instead of failing.
+    stats = (
         banded.groupBy(*key_cols)
         .agg(
             F.count(F.lit(1)).alias("__n"),
@@ -125,3 +132,105 @@ def bucket_pairs(
         )
         .distinct()
     )
+
+
+def hamming_band_pairs(
+    frame: DataFrame,
+    id_col: str,
+    hash_col: str,
+    *,
+    bands: int,
+    max_hamming: int,
+    star_threshold: int | None = 1024,
+    collapse_identical: bool = True,
+) -> DataFrame:
+    """``(id_a, id_b, hamming)`` pairs with Hamming(``hash_col``) ≤
+    ``max_hamming``, by pigeonhole banding — the shared engine of the
+    SimHash text tier (text/dedup.py:simhash_pairs) and the phash image
+    tier (images/neardup.py:phash_near_dup_pairs).
+
+    The 64-bit hash splits into ``bands`` equal slices; any pair within
+    ``max_hamming`` < ``bands`` agrees exactly on at least one slice, so a
+    banded equi-join (one shuffle keyed (band, value)) finds every pair the
+    all-pairs product would.
+
+    ``collapse_identical`` (default on) groups identical hash values to one
+    min-id representative BEFORE banding and emits the group's members as
+    ``(rep, member, hamming=0)`` rows directly. This is the load-bearing
+    skew defense at corpus scale: a boilerplate value duplicated 10^8×
+    otherwise lands its whole cluster in the same bucket in EVERY band, and
+    no per-bucket bound can recover the recall a quadratic join would have.
+    Collapsed, it is one row per distinct value — and the collapse is
+    hamming-EXACT, not approximate: members of a value group are distance 0
+    from their rep, and any cross-group pair has the same distance as its
+    reps. The pair-level output changes shape (intra-group pairs arrive as
+    rep stars, a g1×g2 cross-group block arrives as one rep-rep pair), but
+    the transitive closure — how the dedup ladder consumes pairs
+    (operators/components.py) — is identical, which is the same contract
+    ``star_threshold`` already documents. Pass ``collapse_identical=False``
+    (with ``star_threshold=None``) for the literal all-pairs enumeration.
+
+    ``star_threshold`` then only ever sees buckets of DISTINCT values,
+    whose load is bounded by pigeonhole (≈ n_distinct / 2^(64/bands)), not
+    by duplication. If a corpus has so many distinct values that ordinary
+    buckets exceed the threshold (≈67M distinct at 16-bit bands), widen the
+    slices (fewer ``bands``) or raise the threshold — star expansion there
+    trades recall for the bound, bucket by bucket.
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole needs bands > max_hamming (got bands={bands}, "
+            f"max_hamming={max_hamming}): a pair may otherwise differ in "
+            "every band and never become a candidate"
+        )
+    if 64 % bands:
+        raise ValueError(f"bands={bands} must divide 64")
+    width = 64 // bands
+    base = frame.filter(F.col(hash_col).isNotNull()).select(id_col, hash_col)
+    ident = None
+    if collapse_identical:
+        groups = base.groupBy(hash_col).agg(F.min(id_col).alias("__rep"))
+        ident = (
+            base.join(groups, hash_col)
+            .filter(F.col(id_col) != F.col("__rep"))
+            .select(
+                F.col("__rep").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(0).cast("int").alias("hamming"),
+            )
+        )
+        base = groups.select(F.col("__rep").alias(id_col), hash_col)
+    if width == 64:
+        slices = [F.col(hash_col)]
+    else:
+        mask = (1 << width) - 1
+        # arithmetic shiftright + mask == logical: the mask strips the
+        # sign-extended bits
+        slices = [
+            F.shiftright(F.col(hash_col), q * width).bitwiseAND(F.lit(mask))
+            for q in range(bands)
+        ]
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(q).alias("b"), s.alias("bv"))
+            for q, s in enumerate(slices)
+        ]
+    )
+    banded = base.select(
+        id_col, hash_col, F.explode(band_structs).alias("bb")
+    ).select(id_col, hash_col, "bb.b", "bb.bv")
+    pairs = (
+        bucket_pairs(
+            banded, id_col, ["b", "bv"], star_threshold,
+            payload_cols=[hash_col],
+        )
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col(f"{hash_col}_a").bitwiseXOR(F.col(f"{hash_col}_b"))
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs.unionByName(ident) if ident is not None else pairs

@@ -86,8 +86,17 @@ def export_bundle(
     layerset: str,
     pgosm_date: str,
     dry_run: bool = False,
+    write_manifest: bool = True,
 ) -> dict:
     """Write every layer table + manifest. Returns the manifest dict.
+
+    ``write_manifest=False`` skips the ``manifest.json`` write (the dict is
+    still returned): manifest.json doubles as the COMPLETION MARKER that
+    ``ImportMode.okay_to_run`` checks, so a caller composing this bundle
+    with other concurrent sections (jobs/import_job.py runs it alongside
+    the checkpointed containment join) must write the marker itself only
+    after EVERY section has finished — otherwise a crash in a later section
+    leaves a completed-looking bundle behind.
 
     Bundle name mirrors the reference's dump naming
     (docker/pgosm_flex.py:553-570): <region>-<layerset>-<date>.
@@ -134,8 +143,9 @@ def export_bundle(
         # validation artifact
         manifest["dry_run"] = True
         return manifest
-    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=2, sort_keys=True)
+    if write_manifest:
+        with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2, sort_keys=True)
     return manifest
 
 
@@ -150,6 +160,7 @@ def export_bundle_routed(
     overrides: dict[str, DataFrame] | None = None,
     files_per_partition: int | None = 4,
     dry_run: bool = False,
+    write_manifest: bool = True,
 ) -> dict:
     """Single-pass export: ONE scan of ``osm`` writes every layer table.
 
@@ -253,8 +264,10 @@ def export_bundle_routed(
         # bundle's manifest must survive a validation pass)
         manifest["dry_run"] = True
         return manifest
-    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=2, sort_keys=True)
+    if write_manifest:
+        # same completion-marker contract as export_bundle
+        with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2, sort_keys=True)
     return manifest
 
 

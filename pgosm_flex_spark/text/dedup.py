@@ -49,13 +49,23 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_doc_freq: int | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Exact word-set Jaccard ≥ threshold pairs (doc_a < doc_b).
 
     ``max_doc_freq`` drops words appearing in more than that many docs from
     the *join* (not from the set sizes) — skew guard for stop-like words.
+
+    ``cache``: the word-set stage is consumed by several downstream plan
+    branches; caching it avoids re-tokenizing per consumer but PINS the
+    cached blocks for the session's lifetime (Spark offers no safe point to
+    unpersist inside a lazily-returned plan). Long-lived sessions calling
+    this repeatedly over different corpora should pass ``cache=False`` (or
+    ``spark.catalog.clearCache()`` between corpora).
     """
-    ws = word_sets(documents, text_col, id_col).cache()
+    ws = word_sets(documents, text_col, id_col)
+    if cache:
+        ws = ws.cache()
     exploded = ws.select(id_col, "n_words", F.explode("words").alias("word"))
     if max_doc_freq is not None:
         freq = exploded.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
@@ -228,6 +238,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     star_threshold: int | None = 1024,
+    cache: bool = True,
 ) -> DataFrame:
     """LSH candidate generation + exact word-Jaccard verification.
 
@@ -243,8 +254,13 @@ def minhash_lsh_pairs(
     # cache: the signature stage (shingle hash + permutation UDF) is the
     # expensive leg and every downstream consumer — both self-join sides
     # plus the bucket-size guard — re-executes its lineage otherwise (same
-    # pattern as simhash_pairs). One compact row per doc.
-    sigs = minhash_signatures(documents, num_hashes, shingle_k, text_col, id_col).cache()
+    # pattern as simhash_pairs). One compact row per doc. The blocks stay
+    # pinned for the session (no safe unpersist point inside a lazy plan);
+    # repeated calls over different corpora should pass cache=False or
+    # clearCache() between corpora.
+    sigs = minhash_signatures(documents, num_hashes, shingle_k, text_col, id_col)
+    if cache:
+        sigs = sigs.cache()
     # one plain (codegen-able) struct per band, band index a literal: hashing
     # the sig elements directly keeps the whole banding inside WholeStageCodegen.
     # The previous formulation — transform(sequence(0, bands-1), lambda with
@@ -337,41 +353,37 @@ def simhash_pairs(
     id_col: str = "doc_id",
     prefix_bits: int = 16,
     star_threshold: int | None = 1024,
+    cache: bool = True,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
-    Blocking: docs are bucketed by each of the 4 16-bit simhash quarters
-    (pigeonhole: ≤3 differing bits leave at least one quarter identical), so
-    the self-join is per-bucket, not all-pairs; ``star_threshold`` bounds
-    oversized buckets by star expansion (operators/buckets.py)."""
-    sigs = simhash_signatures(documents, text_col, id_col).cache()
-    quarter_structs = F.array(
-        *[
-            F.struct(
-                F.lit(q).alias("q"),
-                F.shiftright(F.col("simhash"), q * 16).bitwiseAND(F.lit(0xFFFF)).alias("qv"),
-            )
-            for q in range(4)
-        ]
-    )
-    quarters = sigs.select(
-        id_col, "simhash", F.explode(quarter_structs).alias("qq")
-    ).select(id_col, "simhash", "qq.q", "qq.qv")
-    from pgosm_flex_spark.operators.buckets import bucket_pairs
+    Blocking: docs are bucketed by each of the ``64 // prefix_bits``
+    simhash slices (pigeonhole: ≤ max_hamming differing bits leave at least
+    one slice identical), so the self-join is per-bucket, not all-pairs.
+    Identical simhash values collapse to one representative before banding
+    (``collapse_identical``) and members arrive as (rep, member, 0) rows —
+    the exact monster-bucket defense; ``star_threshold`` backstops buckets
+    of DISTINCT values. Semantics, trades, and the all-pairs opt-out:
+    operators/buckets.py:hamming_band_pairs.
 
-    return (
-        bucket_pairs(
-            quarters, id_col, ["q", "qv"], star_threshold,
-            payload_cols=["simhash"],
-        )
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select(
-            F.col("id_a").alias("doc_a"),
-            F.col("id_b").alias("doc_b"),
-            "hamming",
-        )
+    ``cache`` pins the signature blocks for the session — see
+    :func:`jaccard_pairs` for the trade and the opt-out."""
+    from pgosm_flex_spark.operators.buckets import hamming_band_pairs
+
+    sigs = simhash_signatures(documents, text_col, id_col)
+    if cache:
+        sigs = sigs.cache()
+    return hamming_band_pairs(
+        sigs,
+        id_col,
+        "simhash",
+        bands=64 // prefix_bits,
+        max_hamming=max_hamming,
+        star_threshold=star_threshold,
+        collapse_identical=collapse_identical,
+    ).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "hamming",
     )

@@ -60,6 +60,24 @@ def test_export_bundle_manifest(spark, tmp_path):
     assert set(manifest["tables"]) == set(tables)
 
 
+def test_export_bundle_write_manifest_false_leaves_no_marker(spark, tmp_path):
+    """manifest.json doubles as the completion marker ImportMode.okay_to_run
+    checks: a caller composing the bundle with other concurrent sections
+    (jobs/import_job.py) must be able to defer it, or a crash in a later
+    section leaves a completed-looking bundle behind."""
+    osm = fixtures.osm_objects_df(spark)
+    tables = build_layer_tables(osm, layerset="minimal")
+    out = tmp_path / "bundle_nm"
+    manifest = export_bundle(
+        spark, tables, str(out), region="dc", layerset="minimal",
+        pgosm_date="2026-01-01", write_manifest=False,
+    )
+    assert manifest["tables"]  # dict still returned in full
+    assert not (out / "manifest.json").exists()
+    # the tables themselves were written
+    assert any(out.iterdir())
+
+
 def test_run_sql_scripts_templating(spark):
     run_sql_scripts(
         spark,

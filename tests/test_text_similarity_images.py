@@ -81,9 +81,17 @@ def test_minhash_lsh_finds_near_dups(docs):
 
 
 def test_simhash_near_dup(docs):
-    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in dedup.simhash_pairs(docs, max_hamming=10).collect()}
+    # hamming 10 needs >10 bands for the pigeonhole guarantee — 16 bands of
+    # 4 bits (the old 4×16 config silently under-recalled here; the helper
+    # now rejects it loudly)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(docs, max_hamming=10, prefix_bits=4).collect()
+    }
     assert pairs[(0, 4)] == 0  # identical text -> identical simhash
     assert (0, 1) in pairs
+    with pytest.raises(ValueError):
+        dedup.simhash_pairs(docs, max_hamming=10)  # 4 bands can't cover 10
 
 
 def test_cosine_topk_vs_numpy(spark):
@@ -286,10 +294,22 @@ def test_phash_near_dup_vs_bruteforce(spark):
     df = spark.createDataFrame(
         pd.DataFrame({"image_id": ids, "phash": hashes})
     )
+    # all-pairs config: this test pins the pigeonhole losslessness claim
+    # itself, so it opts out of the identical-value collapse (whose
+    # cluster-equivalent pair reshaping is pinned by the monster test below)
     got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_dup_pairs(
+            df, max_hamming=2, star_threshold=None, collapse_identical=False
+        ).collect()
+    }
+    # the default guards agree here: every identical-value group has size 2
+    # with no third hash in range, so rep stars == the brute-force pairs
+    got_default = {
         (r["id_a"], r["id_b"]): r["hamming"]
         for r in phash_near_dup_pairs(df, max_hamming=2).collect()
     }
+    assert got_default == got
     h = hashes.astype(np.uint64)
     want = {}
     for x in range(len(h)):
@@ -330,11 +350,17 @@ def test_star_threshold_bounds_monster_buckets_same_clusters(spark):
     ids = [f"m{k:04d}" for k in range(len(hashes))]
     df = spark.createDataFrame(pd.DataFrame({"image_id": ids, "phash": hashes}))
 
-    exact = phash_near_dup_pairs(df, max_hamming=2, star_threshold=None)
-    starred = phash_near_dup_pairs(df, max_hamming=2, star_threshold=8)
-    n_exact, n_star = exact.count(), starred.count()
-    # 64 bucket-mates -> 2016 exact pairs; star expansion keeps it linear
-    assert n_exact > 1900 and n_star < 200
+    exact = phash_near_dup_pairs(
+        df, max_hamming=2, star_threshold=None, collapse_identical=False
+    )
+    starred = phash_near_dup_pairs(
+        df, max_hamming=2, star_threshold=8, collapse_identical=False
+    )
+    collapsed = phash_near_dup_pairs(df, max_hamming=2)  # default guards
+    n_exact, n_star, n_col = exact.count(), starred.count(), collapsed.count()
+    # 64 bucket-mates -> 2016 exact pairs; star expansion keeps it linear,
+    # and the identical-value collapse (the default) does too
+    assert n_exact > 1900 and n_star < 200 and n_col < 200
 
     def clusters(pairs_df):
         comp = connected_components(pairs_df, src="id_a", dst="id_b")
@@ -345,7 +371,7 @@ def test_star_threshold_bounds_monster_buckets_same_clusters(spark):
             .collect()
         }
 
-    assert clusters(starred) == clusters(exact)
+    assert clusters(starred) == clusters(exact) == clusters(collapsed)
     # every monster member + variant is in the one big cluster either way
     big = max(clusters(starred), key=len)
     assert len(big) == 64
