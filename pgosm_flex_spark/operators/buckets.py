@@ -169,6 +169,11 @@ def hamming_band_pairs(
     (operators/components.py) — is identical, which is the same contract
     ``star_threshold`` already documents. Pass ``collapse_identical=False``
     (with ``star_threshold=None``) for the literal all-pairs enumeration.
+    Collapsing makes construction EAGER: the distinct-value frame is
+    localCheckpointed at call time (a Spark job runs before this function
+    returns, and its blocks stay pinned in executor storage like the other
+    iterative operators' frontiers) because three downstream consumers
+    would otherwise each re-run the scan + groupBy.
 
     ``star_threshold`` then only ever sees buckets of DISTINCT values,
     whose load is bounded by pigeonhole (≈ n_distinct / 2^(64/bands)), not
