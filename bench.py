@@ -56,7 +56,12 @@ def main() -> None:
     # single-shot wall times at high parallelism carry 3-8x neighbor noise
     # (BENCH_r02's 32-125x phantom regressions were exactly the single-rep
     # tail queries). Worst rep is reported alongside best as the spread.
-    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
+    # 4 reps: the first rep often pays one-time costs (plan compile, Arrow
+    # worker spawn, broadcast build) AND the host phases between quiet and
+    # degraded on ~minute timescales — measured same-code best-of-3 spreads
+    # of 1.1 s vs 11.3 s for the PIP query across two runs 10 min apart.
+    # One extra rep widens the window a best-of can land a quiet rep in.
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "4"))
 
     def timed(name: str, fn, reps: int | None = None):
         best = worst = None
