@@ -78,7 +78,7 @@ def main() -> None:
 
     # ---- input: distributed synthetic image points (captions; hot-cell skew)
     images = fixtures.images_df(spark, n_images, with_pixels=False)
-    pts = tagf.with_tags(images).select("image_id", "lon", "lat").persist()
+    pts = tagf.with_lonlat(images).select("image_id", "lon", "lat").persist()
     timed("materialize_points", lambda: pts.count(), reps=1)  # cache fill, not a query
 
     # warm up python UDF workers + arrow serializers so timed queries measure
@@ -168,7 +168,7 @@ def main() -> None:
     from pgosm_flex_spark.operators.knn import knn_join_adaptive
 
     feats = (
-        tagf.with_tags(fixtures.images_df(spark, 20000, with_pixels=False))
+        tagf.with_lonlat(fixtures.images_df(spark, 20000, with_pixels=False))
         .select(F.col("image_id").alias("feat_id"), "lon", "lat")
         .persist()  # the join reads this twice per rep (density map + buckets)
     )

@@ -180,9 +180,25 @@ def main() -> int:
     else:
         images = fixtures.images_df(spark, args.n_images, with_pixels=False)
     pts = (
-        tagf.with_tags(images)
+        tagf.with_lonlat(images)  # geotag-only fast path: no tag map built
         .filter(F.col("lon").isNotNull())
         .select("image_id", "lon", "lat")
+    )
+
+    # 2b. append start (I2): a diff invalidates exactly the coarse cells it
+    # touches — the join below recomputes ONLY those units (their partition
+    # dirs overwrite idempotently; every other unit's files stay, the
+    # reference's per-region invalidation instead of row patching)
+    from pgosm_flex_spark.index import cells
+
+    # the join's unit cell rides along from the start: the SAME persisted
+    # frame serves the append restriction, the unit discovery, and every
+    # per-unit filter — the join wrapper used to re-persist a second
+    # full-size copy just to add this column (double cache + a fill pass
+    # + a whole-cache distinct scan before the first unit; measured
+    # 124-488 task-seconds at 96M points)
+    pts = pts.withColumn(
+        "__unit", cells.cell_col(F.col("lon"), F.col("lat"), args.unit_res)
     )
 
     # 2b. append start (I2): a diff invalidates exactly the coarse cells it
@@ -192,10 +208,9 @@ def main() -> int:
     touched_units = None
     expected_units = None
     if args.mode == "append" and args.diff:
-        from pgosm_flex_spark.index import cells
         from pgosm_flex_spark.streaming.incremental import affected_cells
 
-        diff_pts = tagf.with_tags(spark.read.parquet(args.diff)).filter(
+        diff_pts = tagf.with_lonlat(spark.read.parquet(args.diff)).filter(
             F.col("lon").isNotNull()
         )
         touched = affected_cells(diff_pts, res=args.unit_res)
@@ -204,18 +219,19 @@ def main() -> int:
         # stale unit dir survives and stored pairs diverge from a full run
         expected_units = [str(r["cell"]) for r in touched.collect()]
         touched_units = len(expected_units)
-        pts_cell = pts.withColumn(
-            "__unit", cells.cell_col(F.col("lon"), F.col("lat"), args.unit_res)
-        )
-        pts = pts_cell.join(
-            F.broadcast(touched), pts_cell["__unit"] == touched["cell"]
-        ).drop("cell", "__unit")
+        pts = pts.join(
+            F.broadcast(touched), pts["__unit"] == touched["cell"]
+        ).drop("cell")
 
     # materialize the point side once (shared by the join and any append
     # restriction) and charge it to its own section — downstream sections
-    # then time their own work, not the input lineage
+    # then time their own work, not the input lineage. ONE aggregation
+    # yields both the row count and the unit set (cell_col is a pure
+    # map-side-combinable key: ≤ a few thousand groups at unit_res)
     pts = pts.persist()
-    n_pts = pts.count()
+    unit_rows = pts.groupBy("__unit").count().collect()
+    n_pts = sum(r["count"] for r in unit_rows)
+    point_units = [str(r["__unit"]) for r in unit_rows]
     mark("points_materialize")
 
     # barrier: the join needs place_polygon; a fixed-world failure surfaces
@@ -267,7 +283,7 @@ def main() -> int:
         polys = tables["place_polygon"].filter(F.col("geom_wkb").isNotNull())
         pair_metrics = checkpointed_pip_join(
             spark,
-            pts.select("image_id", "lon", "lat"),
+            pts.select("image_id", "lon", "lat", "__unit"),
             polys,
             os.path.join(args.out, "image_place_pairs"),
             job_id=f"{args.region}-{args.date}",
@@ -275,6 +291,8 @@ def main() -> int:
             unit_res=args.unit_res,
             expected_units=expected_units,
             dry_run=args.dry_run,
+            unit_col="__unit",
+            units=point_units,
         )
     mark("pip_join_checkpointed")
 

@@ -174,3 +174,50 @@ def test_clean_tags_empty_skip(spark):
     )
     kept = df.filter(tagf.has_tags_after_clean(F.col("tags"))).count()
     assert kept == 1
+
+
+def test_with_lonlat_matches_with_tags(spark):
+    """with_lonlat (the geotag fast path) must agree with the full parse on
+    every caption shape the corpus can produce, plus adversarial edges."""
+    captions = [
+        "lon=-77.03 lat=38.90 highway=residential name=Main%20Street",
+        "highway=residential lon=1.5 lat=-2.25",          # geotag not first
+        "lon=0 lat=0",                                    # bare geotag
+        "highway=residential name=x",                     # no geotag at all
+        "melon=3 lat=7 lon=9",                            # key-suffix collision
+        "lon= lat=",                                      # empty values
+        "lon=abc lat=1",                                  # non-numeric lon
+        "lon=4e-3 lat=-0.0",                              # exotic numerics
+        "a=b lon=5.5",                                    # lat missing
+        None,                                             # NULL caption
+        "",                                               # empty caption
+        "lonx=1 xlat=2",                                  # near-miss keys
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"image_id": [str(i) for i in range(len(captions))],
+                      "caption": captions})
+    )
+    full = tagf.with_tags(df).select("image_id", "lon", "lat")
+    fast = tagf.with_lonlat(df).select("image_id", "lon", "lat")
+    mism = (
+        full.withColumnRenamed("lon", "l1").withColumnRenamed("lat", "t1")
+        .join(fast.withColumnRenamed("lon", "l2").withColumnRenamed("lat", "t2"),
+              "image_id")
+        .filter("(l1 <=> l2) = false or (t1 <=> t2) = false")
+        .count()
+    )
+    assert mism == 0
+    # and on the real fixture corpus
+    from pgosm_flex_spark import fixtures
+
+    imgs = fixtures.images_df(spark, 2000, with_pixels=False)
+    full = tagf.with_tags(imgs).select("image_id", "lon", "lat")
+    fast = tagf.with_lonlat(imgs).select("image_id", "lon", "lat")
+    mism = (
+        full.withColumnRenamed("lon", "l1").withColumnRenamed("lat", "t1")
+        .join(fast.withColumnRenamed("lon", "l2").withColumnRenamed("lat", "t2"),
+              "image_id")
+        .filter("(l1 <=> l2) = false or (t1 <=> t2) = false")
+        .count()
+    )
+    assert mism == 0

@@ -24,7 +24,7 @@ def main() -> None:
 
     spark = get_spark("prep-scale-input")
     spark.sparkContext.setLogLevel("ERROR")
-    pts = tagf.with_tags(fixtures.images_df(spark, n, with_pixels=False)).select(
+    pts = tagf.with_lonlat(fixtures.images_df(spark, n, with_pixels=False)).select(
         "image_id", "lon", "lat"
     )
     pts.write.mode("overwrite").parquet(out)
