@@ -32,7 +32,10 @@ from pgosm_flex_spark import fixtures  # noqa: E402
 from pgosm_flex_spark.functions import tags as tagf  # noqa: E402
 from pgosm_flex_spark.layers import build_layer_tables  # noqa: E402
 from pgosm_flex_spark.operators import knn_join, pip_join, relation_member_dedup  # noqa: E402
-from pgosm_flex_spark.operators.pip_join import build_polygon_cover  # noqa: E402
+from pgosm_flex_spark.operators.pip_join import (  # noqa: E402
+    build_polygon_cover,
+    cover_res_levels,
+)
 from pgosm_flex_spark.operators.tiles import tile_counts  # noqa: E402
 from pgosm_flex_spark.session import get_spark  # noqa: E402
 from pgosm_flex_spark.similarity import ann  # noqa: E402
@@ -97,14 +100,7 @@ def main() -> None:
 
     # res_levels is fixed per cover: probe once, outside the timed reps
     # (a production corpus amortizes this one driver job over all points)
-    from pgosm_flex_spark.index import cells as _cells
-
-    res_levels = sorted(
-        r["res"]
-        for r in cover.select(
-            _cells.cell_res_col(F.col("cell")).alias("res")
-        ).distinct().collect()
-    )
+    res_levels = cover_res_levels(cover)
 
     # ---- headline: PIP join + rollup (flagship)
     def run_pip():

@@ -30,7 +30,7 @@ from pgosm_flex_spark.session import get_spark
 from pgosm_flex_spark import fixtures
 from pgosm_flex_spark.layers import build_layer_tables
 from pgosm_flex_spark.operators import pip_join, relation_member_dedup
-from pgosm_flex_spark.operators.pip_join import build_polygon_cover
+from pgosm_flex_spark.operators.pip_join import build_polygon_cover, cover_res_levels
 
 
 def main() -> None:
@@ -68,16 +68,8 @@ def main() -> None:
     cover.count()
     # res_levels is a property of the (cached, fixed) cover; probing it per
     # rep re-pays a ~1.4 s fixed driver job every repetition — pure Amdahl
-    # overhead a production job amortizes over the whole corpus. Compute it
-    # once here, like the checkpointed unit loop does (pip_join docstring).
-    from pgosm_flex_spark.index import cells as _cells
-
-    res_levels = sorted(
-        r["res"]
-        for r in cover.select(
-            _cells.cell_res_col(F.col("cell")).alias("res")
-        ).distinct().collect()
-    )
+    # overhead a production job amortizes over the whole corpus.
+    res_levels = cover_res_levels(cover)
     attrs = place.select("osm_id", "osm_type", "admin_level")
 
     def run() -> int:

@@ -185,10 +185,6 @@ def main() -> int:
         .select("image_id", "lon", "lat")
     )
 
-    # 2b. append start (I2): a diff invalidates exactly the coarse cells it
-    # touches — the join below recomputes ONLY those units (their partition
-    # dirs overwrite idempotently; every other unit's files stay, the
-    # reference's per-region invalidation instead of row patching)
     from pgosm_flex_spark.index import cells
 
     # the join's unit cell rides along from the start: the SAME persisted

@@ -61,12 +61,15 @@ def with_lonlat(df: DataFrame, caption_col: str = "caption") -> DataFrame:
 
     Fast path for consumers that never read ``tags`` (the import job's point
     side is exactly ``(image_id, lon, lat)``): two anchored
-    ``regexp_extract``s replace the full tokenize → map_from_entries →
-    %20-unescape pipeline, measured 7.1× faster per row (0.58 s vs 4.14 s
-    per 5M cached rows, local[8]) with bit-identical lon/lat on the fixture
-    corpus — the geotag values are numeric, so the unescape step the full
-    parse applies can never change them (an escaped or malformed value
-    fails ``try_cast`` to NULL on both paths). Column pruning cannot do
+    ``regexp_extract``s replace the full tokenize → map_from_entries
+    pipeline, measured 7.1× faster per row (0.58 s vs 4.14 s per 5M cached
+    rows, local[8]) with bit-identical lon/lat on the fixture corpus.
+    Both paths tokenize on literal spaces and apply the SAME %20→space
+    unescape before the cast (a value like ``lon=-77.1%20`` unescapes to
+    ``"-77.1 "`` and the string→double cast trims whitespace — skipping the
+    unescape here would NULL a value the ``with_tags`` path accepts, and
+    the import job's point side would silently disagree with the
+    tags/unitable surface on the same row). Column pruning cannot do
     this rewrite: ``lon`` alone still forces ``with_tags`` to build the
     whole per-row map. One divergence, by construction: a caption carrying
     the SAME reserved key twice reads first-occurrence here, while
@@ -75,8 +78,9 @@ def with_lonlat(df: DataFrame, caption_col: str = "caption") -> DataFrame:
     """
     lon = F.regexp_extract(F.col(caption_col), r"(?:^| )lon=([^ ]*)", 1)
     lat = F.regexp_extract(F.col(caption_col), r"(?:^| )lat=([^ ]*)", 1)
-    return df.withColumn("lon", lon.try_cast("double")).withColumn(
-        "lat", lat.try_cast("double")
+    unesc = lambda c: F.replace(c, F.lit("%20"), F.lit(" "))  # noqa: E731
+    return df.withColumn("lon", unesc(lon).try_cast("double")).withColumn(
+        "lat", unesc(lat).try_cast("double")
     )
 
 

@@ -32,6 +32,7 @@ def phash_near_dup_pairs(
     bands: int = 4,
     star_threshold: int | None = 1024,
     collapse_identical: bool = True,
+    collapse_eager: bool = True,
 ) -> DataFrame:
     """Pairs of images with Hamming(phash) ≤ ``max_hamming``.
 
@@ -56,4 +57,5 @@ def phash_near_dup_pairs(
         max_hamming=max_hamming,
         star_threshold=star_threshold,
         collapse_identical=collapse_identical,
+        collapse_eager=collapse_eager,
     )

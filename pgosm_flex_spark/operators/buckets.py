@@ -143,6 +143,7 @@ def hamming_band_pairs(
     max_hamming: int,
     star_threshold: int | None = 1024,
     collapse_identical: bool = True,
+    collapse_eager: bool = True,
 ) -> DataFrame:
     """``(id_a, id_b, hamming)`` pairs with Hamming(``hash_col``) ≤
     ``max_hamming``, by pigeonhole banding — the shared engine of the
@@ -169,11 +170,16 @@ def hamming_band_pairs(
     (operators/components.py) — is identical, which is the same contract
     ``star_threshold`` already documents. Pass ``collapse_identical=False``
     (with ``star_threshold=None``) for the literal all-pairs enumeration.
-    Collapsing makes construction EAGER: the distinct-value frame is
-    localCheckpointed at call time (a Spark job runs before this function
-    returns, and its blocks stay pinned in executor storage like the other
-    iterative operators' frontiers) because three downstream consumers
-    would otherwise each re-run the scan + groupBy.
+    Collapsing makes construction EAGER by default: the distinct-value
+    frame is localCheckpointed at call time (a Spark job runs before this
+    function returns, and its blocks stay pinned in executor storage for
+    the session — Spark offers no safe unpersist point inside the returned
+    lazy plan) because three downstream consumers would otherwise each
+    re-run the scan + groupBy (measured 2.2×). A long-lived session calling
+    this per incoming corpus accumulates one pinned frame per call; pass
+    ``collapse_eager=False`` there (the ``cache=False`` trade of
+    jaccard/minhash/simhash) to keep the collapse fully lazy and unpinned,
+    or clear via ``spark.catalog.clearCache()`` between corpora.
 
     ``star_threshold`` then only ever sees buckets of DISTINCT values,
     whose load is bounded by pigeonhole (≈ n_distinct / 2^(64/bands)), not
@@ -204,7 +210,9 @@ def hamming_band_pairs(
         # as routing.shortest_paths / components.connected_components.
         groups = base.groupBy(hash_col).agg(
             F.min(id_col).alias("__rep"), F.count(F.lit(1)).alias("__n")
-        ).localCheckpoint(eager=True)
+        )
+        if collapse_eager:
+            groups = groups.localCheckpoint(eager=True)
         # member rows need a join back to their rep, but only values with
         # __n > 1 have members besides the rep — joining against that
         # filtered set (instead of all groups) lets AQE broadcast it when

@@ -102,6 +102,21 @@ def build_polygon_cover(
     return polygons.select(poly_id, wkb_col).mapInPandas(cover, schema=schema)
 
 
+def cover_res_levels(cover: DataFrame) -> list[int]:
+    """The distinct cell resolutions present in a polygon cover — one
+    bounded driver collect (≤ fine-coarse+1 rows). res_levels is a property
+    of the (fixed) cover, so callers doing repeated joins probe it ONCE and
+    pass it to every :func:`pip_join` call (the checkpointed unit loop,
+    bench reps, the scaling tools) instead of paying a collect job per
+    join."""
+    return sorted(
+        r["res"]
+        for r in cover.select(cells.cell_res_col(F.col("cell")).alias("res"))
+        .distinct()
+        .collect()
+    )
+
+
 def pip_join(
     points: DataFrame,
     polygons: DataFrame,
@@ -145,10 +160,7 @@ def pip_join(
         # one bounded driver collect (≤ fine-coarse+1 rows); callers doing
         # repeated joins against the same cover pass res_levels explicitly
         # to skip this job (the checkpointed unit loop does)
-        res_levels = sorted(
-            r["res"] for r in cover.select(
-                cells.cell_res_col(F.col("cell")).alias("res")).distinct().collect()
-        )
+        res_levels = cover_res_levels(cover)
     else:
         res_levels = sorted(set(res_levels))
 

@@ -123,12 +123,15 @@ class Checkpointer:
         stages across all cores; set ``max_parallel=1`` for the reference's
         strictly-serial batch-loop behavior.
 
-        ``journal=False`` runs every pending unit without recording
-        completion — for dry-run/validation passes whose ``process`` stores
-        no output (a journaled-but-empty unit would wrongly survive a later
-        real run's resume).
+        ``journal=False`` runs EVERY unit — neither recording completion
+        nor honoring a prior run's journal — for dry-run/validation passes
+        whose ``process`` stores no output. Writing nothing but journaling
+        would let a later real run resume past empty units; conversely,
+        honoring the journal here would let a dry run after a completed
+        real run of the same job_id skip every unit and validate nothing
+        while reporting success.
         """
-        done = self.completed_units(spark)
+        done = self.completed_units(spark) if journal else set()
         results: dict[str, dict] = {}
         lock = threading.Lock()
 
@@ -203,7 +206,11 @@ def checkpointed_pip_join(
     from pyspark.sql import functions as F
 
     from pgosm_flex_spark.index import cells
-    from pgosm_flex_spark.operators.pip_join import build_polygon_cover, pip_join
+    from pgosm_flex_spark.operators.pip_join import (
+        build_polygon_cover,
+        cover_res_levels,
+        pip_join,
+    )
 
     cp = Checkpointer(path=out_dir, job_id=job_id)
     if unit_col is not None:
@@ -222,10 +229,7 @@ def checkpointed_pip_join(
     cover.count()
     # resolve the cover's resolution levels ONCE — per-unit pip_join calls
     # would otherwise each run a collect job just to rediscover them
-    levels = sorted(
-        r["res"] for r in cover.select(
-            cells.cell_res_col(F.col("cell")).alias("res")).distinct().collect()
-    )
+    levels = cover_res_levels(cover)
 
     def process(unit: str) -> dict:
         sub = pts.filter(F.col("__unit") == int(unit))

@@ -15,6 +15,26 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+def _is_local_master(master: str) -> bool:
+    """True iff a ``spark://host:port`` master resolves to this machine —
+    the single-host standalone harness (tools/cluster_scaling.py), where the
+    same-filesystem executor defaults below are safe."""
+    import socket
+
+    host = master[len("spark://"):].rsplit(":", 1)[0].strip("[]")
+    if host in ("localhost", "127.0.0.1", "::1", socket.gethostname()):
+        return True
+    try:
+        local = {
+            ai[4][0]
+            for name in ("localhost", socket.gethostname())
+            for ai in socket.getaddrinfo(name, None)
+        }
+        return any(ai[4][0] in local for ai in socket.getaddrinfo(host, None))
+    except OSError:
+        return False
+
+
 def get_spark(
     app_name: str = "pgosm-flex-spark",
     cores: int | None = None,
@@ -102,11 +122,19 @@ def get_spark(
     master = os.environ.get("SPARK_GRAFT_MASTER")
     if master:
         builder = builder.master(master)
-        if master.startswith("spark://"):
-            # standalone-cluster defaults so every local[k] tool runs
-            # unchanged against the executor topology: `cores` becomes the
-            # fleet's core cap (executor count = cores / executor-cores),
-            # executors find the library via PYTHONPATH (same host)
+        if master.startswith("spark://") and _is_local_master(master):
+            # SAME-HOST standalone defaults so every local[k] tool runs
+            # unchanged against the single-machine executor topology
+            # (tools/cluster_scaling.py): `cores` becomes the fleet's core
+            # cap (executor count = cores / executor-cores), executors find
+            # the library via PYTHONPATH (same filesystem). Gated to
+            # masters resolving to THIS host: on a real multi-machine
+            # cluster these would be wrong (18g may exceed worker offers →
+            # perpetual 'Initial job has not accepted any resources';
+            # the driver's repo path/python don't exist on remote workers)
+            # — there, size executors via SPARK_GRAFT_EXTRA_CONF /
+            # extra_conf, which also override these when set (later
+            # .config() calls win).
             import sys as _sys
 
             repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -355,6 +355,7 @@ def simhash_pairs(
     star_threshold: int | None = 1024,
     cache: bool = True,
     collapse_identical: bool = True,
+    collapse_eager: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
@@ -382,6 +383,7 @@ def simhash_pairs(
         max_hamming=max_hamming,
         star_threshold=star_threshold,
         collapse_identical=collapse_identical,
+        collapse_eager=collapse_eager,
     ).select(
         F.col("id_a").alias("doc_a"),
         F.col("id_b").alias("doc_b"),

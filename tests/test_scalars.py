@@ -192,6 +192,9 @@ def test_with_lonlat_matches_with_tags(spark):
         None,                                             # NULL caption
         "",                                               # empty caption
         "lonx=1 xlat=2",                                  # near-miss keys
+        "lon=-77.1%20 lat=38.9",   # trailing escaped space: unescape+trim
+        "lon=%20-77.1 lat=1",      # leading escaped space
+        "lon=1%202 lat=3",         # interior escaped space → NULL both paths
     ]
     df = spark.createDataFrame(
         pd.DataFrame({"image_id": [str(i) for i in range(len(captions))],

@@ -26,7 +26,7 @@ from pgosm_flex_spark import fixtures
 from pgosm_flex_spark.functions import tags as tagf
 from pgosm_flex_spark.layers import build_layer_tables
 from pgosm_flex_spark.operators import pip_join, relation_member_dedup
-from pgosm_flex_spark.operators.pip_join import build_polygon_cover
+from pgosm_flex_spark.operators.pip_join import build_polygon_cover, cover_res_levels
 
 cpus = int(os.environ["CPUS"]); n = int(os.environ["NPOINTS"]); reps = int(os.environ.get("REPS", "3"))
 spark = get_spark("pip-scaling", cores=cpus)
@@ -54,11 +54,9 @@ place = relation_member_dedup(build_layer_tables(osm)["place_polygon"]).filter(F
 place.count()
 cover = build_polygon_cover(place).persist(); cover.count()
 # res_levels is fixed per cover — probe once outside the timed loop
-# (see jobs/cluster_pip_job.py; a per-rep probe is ~1.4 s of fixed
-# driver-job overhead a production corpus amortizes away)
-from pgosm_flex_spark.index import cells as _cells
-res_levels = sorted(r["res"] for r in cover.select(
-    _cells.cell_res_col(F.col("cell")).alias("res")).distinct().collect())
+# (a per-rep probe is ~1.4 s of fixed driver-job overhead a production
+# corpus amortizes away)
+res_levels = cover_res_levels(cover)
 attrs = place.select("osm_id", "osm_type", "admin_level")
 
 def run():
