@@ -108,8 +108,12 @@ def kring_offsets(k: int) -> np.ndarray:
 
 
 def kring(cell: int, k: int) -> np.ndarray:
-    """Neighbor cells within Chebyshev distance k (x wraps around the
-    antimeridian; y is clamped at the poles)."""
+    """DISTINCT neighbor cells within Chebyshev distance k (x wraps around
+    the antimeridian; y is clamped at the poles). When the ring is wider
+    than the world (2k+1 > 2^res) the x-wrap folds offsets onto the same
+    cell — deduplicated here, or a kNN candidate join would pair the same
+    (point, feature) twice and a duplicate could occupy two top-k slots.
+    Output is sorted (np.unique), not ring-ordered."""
     res, x, y = unpack(np.asarray([cell]))
     res = int(res[0])
     n = 1 << res
@@ -117,7 +121,7 @@ def kring(cell: int, k: int) -> np.ndarray:
     xs = (int(x[0]) + offs[:, 0]) % n
     ys = int(y[0]) + offs[:, 1]
     keep = (ys >= 0) & (ys < n)
-    return pack(xs[keep], ys[keep], res)
+    return np.unique(pack(xs[keep], ys[keep], res))
 
 
 # ---------------------------------------------------------------------------
@@ -172,10 +176,14 @@ def cell_res_col(cell: Column) -> Column:
 
 
 def kring_col(cell: Column, k: int, res: int) -> Column:
-    """Array column of the (≤(2k+1)^2) neighbor cells of ``cell`` — built
-    from native sequence/transform exprs so kNN ring expansion needs no UDF.
+    """Array column of the (≤(2k+1)^2) DISTINCT neighbor cells of ``cell``
+    — built from native sequence/transform exprs so kNN ring expansion
+    needs no UDF.
 
-    x wraps modulo 2^res; y rows outside [0, 2^res) are dropped.
+    x wraps modulo 2^res; y rows outside [0, 2^res) are dropped; wrap-folded
+    duplicates (2k+1 > 2^res) are removed with array_distinct so a candidate
+    join never pairs the same (point, feature) twice (a duplicate would
+    otherwise occupy two top-k slots in knn_join's row_number ranking).
     """
     n = 1 << res
     x = cell_x_col(cell)
@@ -187,11 +195,13 @@ def kring_col(cell: Column, k: int, res: int) -> Column:
         )
     )
     valid = F.filter(pairs, lambda p: (y + p["dy"] >= 0) & (y + p["dy"] < n))
-    return F.transform(
-        valid,
-        lambda p: (
-            F.lit(res).cast("long") * F.lit(1 << _RES_SHIFT).cast("long")
-            + (F.pmod(x + p["dx"], F.lit(n))).cast("long") * F.lit(1 << _X_SHIFT).cast("long")
-            + (y + p["dy"]).cast("long")
-        ),
+    return F.array_distinct(
+        F.transform(
+            valid,
+            lambda p: (
+                F.lit(res).cast("long") * F.lit(1 << _RES_SHIFT).cast("long")
+                + (F.pmod(x + p["dx"], F.lit(n))).cast("long") * F.lit(1 << _X_SHIFT).cast("long")
+                + (y + p["dy"]).cast("long")
+            ),
+        )
     )

@@ -258,7 +258,13 @@ def knn_join_adaptive(
         for r in levels:
             x, y = cells.xy_of_points(flon_a, flat_a, r)
             n = 1 << r
-            for dx in (-1, 0, 1):
+            # x-wrap folds dx=-1 onto dx=+1 when the level is narrower than
+            # the ring (n <= 2): skip the folded offsets or one feature votes
+            # twice into the same cell and the inflated density picks a level
+            # whose ring holds fewer DISTINCT features than k — breaking the
+            # kth-distance bound (same guard as the distributed build below)
+            dxs = (-1, 0, 1) if n >= 3 else ((0, 1) if n == 2 else (0,))
+            for dx in dxs:
                 for dy in (-1, 0, 1):
                     ny = y + dy
                     keep = (ny >= 0) & (ny < n)
@@ -313,7 +319,11 @@ def knn_join_adaptive(
             y = cells.cell_y_col(fc)
             n_r = F.lit(1 << r).cast("long")
             neigh = []
-            for dx in (-1, 0, 1):
+            # same wrap-fold guard as the driver-side build: at n <= 2 the
+            # dx=-1 neighbor IS the dx=+1 neighbor, so emitting both would
+            # double-count the feature in that cell's ring density
+            dxs = (-1, 0, 1) if (1 << r) >= 3 else ((0, 1) if (1 << r) == 2 else (0,))
+            for dx in dxs:
                 for dy in (-1, 0, 1):
                     ny = y + F.lit(dy)
                     cell_expr = cells.pack_col(r, F.pmod(x + F.lit(dx), n_r), ny)
@@ -416,6 +426,16 @@ def knn_join_adaptive(
         slim.withColumn("__o", F.explode(offsets))
         .withColumn("__ny", F.col("__py") + F.col("__o.dy"))
         .filter((F.col("__ny") >= 0) & (F.col("__ny") < F.col("__n")))
+        # wrap-fold guard (per-row: __n varies with the point's level): when
+        # the search level is narrower than the ring, pmod folds dx=-1 onto
+        # dx=+1 (n=2) or everything onto dx=0 (n=1) — keep one canonical
+        # offset per distinct cell or the candidate join pairs the same
+        # (point, feature) twice and row_number hands a duplicate a top-k slot
+        .filter(
+            (F.col("__n") >= 3)
+            | (F.col("__o.dx") == 0)
+            | ((F.col("__o.dx") == 1) & (F.col("__n") == 2))
+        )
         .filter(min_dist_m <= F.col("__bound"))
         .withColumn(
             "__cell",

@@ -147,6 +147,48 @@ def test_knn_matches_brute_force(world, points, spark):
         assert g["osm_id"].tolist() == exp_ids, p["image_id"]
 
 
+def test_knn_coarse_res_wrap_no_duplicates(spark):
+    """At res coarse enough that the ring wraps the antimeridian (2k+1 >
+    2^res), the x-wrap folds offsets onto the same cell; without dedup the
+    candidate join pairs the same (point, feature) twice and a duplicate
+    occupies two top-k slots. Pin: res=1 ring=2 matches brute force exactly
+    and never repeats a feature within a point's top-k."""
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n_f, n_p = 40, 25
+    feats_pd = pd.DataFrame(
+        {
+            "osm_id": np.arange(n_f, dtype=np.int64),
+            "lon": rng.uniform(-179, 179, n_f),
+            "lat": rng.uniform(-60, 60, n_f),
+        }
+    )
+    pts_pd = pd.DataFrame(
+        {
+            "image_id": [f"p{i:03d}" for i in range(n_p)],
+            "lon": rng.uniform(-179, 179, n_p),
+            "lat": rng.uniform(-60, 60, n_p),
+        }
+    )
+    got = knn_join(
+        spark.createDataFrame(pts_pd),
+        spark.createDataFrame(feats_pd),
+        k=3,
+        res=1,
+        ring=2,
+    ).toPandas()
+    assert not got.duplicated(["image_id", "osm_id"]).any()
+    f_lon = feats_pd["lon"].to_numpy()
+    f_lat = feats_pd["lat"].to_numpy()
+    fid = feats_pd["osm_id"].to_numpy()
+    for _, p in pts_pd.iterrows():
+        d = kernels.haversine_m(p["lon"], p["lat"], f_lon, f_lat)
+        exp_ids = fid[np.lexsort((fid, d))[:3]].tolist()
+        g = got[got["image_id"] == p["image_id"]].sort_values("knn_rank")
+        assert g["osm_id"].tolist() == exp_ids, p["image_id"]
+
+
 def test_tile_counts_total(points, spark):
     pts_df, pdf = points
     tc = tile_counts(pts_df, zoom=12).toPandas()
