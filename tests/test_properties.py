@@ -259,3 +259,99 @@ def test_haversine_symmetric_nonnegative(lon1, lat1, lon2, lat2):
     assert float(kernels.haversine_m(lon1, lat1, lon1, lat1)) < 1e-6
     # bounded by half the earth's circumference (~20015 km) + slack
     assert d12 < 2.1e7
+
+
+# ---------------------------------------------------------------------------
+# linemerge (ST_LineMerge analog) — reassembly and conservation
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    n=st.integers(4, 24),
+    seed=st.integers(0, 2**31 - 1),
+    ncuts=st.integers(0, 6),
+)
+def test_linemerge_reassembles_shuffled_chain(n, seed, ncuts):
+    """A simple path split at random interior nodes, with parts shuffled and
+    randomly reversed, merges back to exactly ONE linestring equal to the
+    original or its reverse (every interior node is degree 2), and the
+    total segment count is conserved."""
+    rng = np.random.default_rng(seed)
+    # integer coords on a walk => distinct vertices with exact float equality
+    steps = rng.integers(1, 4, size=(n - 1, 2))
+    coords = np.vstack([[0, 0], np.cumsum(steps, axis=0)]).astype(np.float64)
+    cuts = sorted(set(rng.integers(1, n - 1, size=ncuts).tolist()))
+    bounds = [0] + cuts + [n - 1]
+    parts = [
+        coords[a : b + 1].copy() for a, b in zip(bounds[:-1], bounds[1:]) if b > a
+    ]
+    order = rng.permutation(len(parts))
+    shuffled = [
+        parts[i][::-1].copy() if rng.random() < 0.5 else parts[i] for i in order
+    ]
+    merged = kernels.linemerge(shuffled)
+    assert sum(p.shape[0] - 1 for p in merged) == n - 1
+    assert len(merged) == 1
+    out = merged[0]
+    assert np.array_equal(out, coords) or np.array_equal(out, coords[::-1])
+
+
+@settings(max_examples=60, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), deg=st.integers(3, 5))
+def test_linemerge_keeps_junction_split(seed, deg):
+    """Parts meeting >= 3 ends at one node must NOT be sewn through it —
+    the reference's GEOS noder keeps junctions split."""
+    rng = np.random.default_rng(seed)
+    hub = np.array([0.0, 0.0])
+    dirs = rng.permutation(
+        np.array([[1, 0], [0, 1], [-1, 0], [0, -1], [1, 1]], dtype=np.float64)
+    )[:deg]
+    parts = [np.vstack([hub, hub + d, hub + 2 * d]) for d in dirs]
+    merged = kernels.linemerge(parts)
+    assert len(merged) == deg
+    assert sum(p.shape[0] - 1 for p in merged) == 2 * deg
+
+
+# ---------------------------------------------------------------------------
+# segment intersections — constructed-crossing oracle
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    px=st.floats(-100, 100), py=st.floats(-100, 100),
+    ang1=st.floats(0.05, 3.0), dang=st.floats(0.2, 2.7),
+    r1=st.floats(0.5, 20), r2=st.floats(0.5, 20),
+    r3=st.floats(0.5, 20), r4=st.floats(0.5, 20),
+)
+def test_segment_pair_intersections_constructed_crossing(
+    px, py, ang1, dang, r1, r2, r3, r4
+):
+    """Two segments built THROUGH a known point P at distinct angles must
+    intersect at P (within float tolerance)."""
+    p = np.array([px, py])
+    d1 = np.array([np.cos(ang1), np.sin(ang1)])
+    d2 = np.array([np.cos(ang1 + dang), np.sin(ang1 + dang)])
+    a0, a1 = (p - r1 * d1)[None, :], (p + r2 * d1)[None, :]
+    b0, b1 = (p - r3 * d2)[None, :], (p + r4 * d2)[None, :]
+    pts, idx = kernels.segment_pair_intersections(a0, a1, b0, b1)
+    assert len(pts) == 1 and tuple(idx[0]) == (0, 0)
+    scale = max(abs(px), abs(py), r1, r2, r3, r4, 1.0)
+    assert np.allclose(pts[0], p, atol=1e-7 * scale)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    px=st.floats(-50, 50), py=st.floats(-50, 50),
+    ang=st.floats(0.0, 3.1), r=st.floats(1.0, 10), off=st.floats(0.1, 5),
+)
+def test_segment_pair_intersections_skips_collinear(px, py, ang, r, off):
+    """Collinear overlapping segments are skipped (the ST_Relate
+    '1********' guard the reference applies before splitting)."""
+    p = np.array([px, py])
+    d = np.array([np.cos(ang), np.sin(ang)])
+    a0, a1 = p[None, :], (p + r * d)[None, :]
+    b0, b1 = (p + off * d)[None, :], (p + (r + off) * d)[None, :]
+    pts, idx = kernels.segment_pair_intersections(a0, a1, b0, b1)
+    assert len(pts) == 0
