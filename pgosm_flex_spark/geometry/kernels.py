@@ -109,6 +109,51 @@ def centroid(geom: wkb_mod.Geom) -> tuple[float, float]:
     return cx_sum / a_sum, cy_sum / a_sum
 
 
+def point_on_surface(geom: wkb_mod.Geom) -> tuple[float, float]:
+    """A point guaranteed INSIDE a (multi)polygon — ST_PointOnSurface's
+    contract, which the area centroid cannot give: a horseshoe's centroid
+    lies in its notch, OUTSIDE the polygon, so using centroids as
+    representative points drops real containment candidates (including the
+    required self-pair) before any exact test runs.
+
+    GEOS-style horizontal bisector: cast a horizontal ray at a y between
+    ymin and ymax, collect even-odd crossings, take the midpoint of the
+    widest inside interval. If the chosen y grazes a vertex (degenerate
+    crossing set) retry at other fractions; verified with a PIP test before
+    returning. Falls back to the centroid for non-areal geometry or a
+    fully-degenerate polygon."""
+    if geom.kind not in (wkb_mod.POLYGON, wkb_mod.MULTIPOLYGON):
+        return centroid(geom)
+    allc = np.concatenate(geom.rings, axis=0)
+    ymin, ymax = float(allc[:, 1].min()), float(allc[:, 1].max())
+    if ymax <= ymin:
+        return centroid(geom)
+    # 0.5 first (the GEOS choice); irrational-ish retries dodge vertex rows
+    for frac in (0.5, 0.381966, 0.618034, 0.271828, 0.707107, 0.141421):
+        y = ymin + (ymax - ymin) * frac
+        xs: list[np.ndarray] = []
+        for ring in geom.rings:
+            y0, y1 = ring[:-1, 1], ring[1:, 1]
+            x0, x1 = ring[:-1, 0], ring[1:, 0]
+            straddle = (y0 > y) != (y1 > y)
+            if not straddle.any():
+                continue
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = x0 + (y - y0) * (x1 - x0) / (y1 - y0)
+            xs.append(xint[straddle])
+        if not xs:
+            continue
+        cr = np.sort(np.concatenate(xs))
+        if cr.size < 2 or cr.size % 2:
+            continue  # grazed a vertex: crossing parity broken, retry
+        widths = cr[1::2] - cr[0::2]
+        i = int(np.argmax(widths))
+        px = float((cr[2 * i] + cr[2 * i + 1]) / 2.0)
+        if points_in_rings(np.array([px]), np.array([y]), geom.rings)[0]:
+            return px, float(y)
+    return centroid(geom)
+
+
 # ---------------------------------------------------------------------------
 # geodesic length
 # ---------------------------------------------------------------------------

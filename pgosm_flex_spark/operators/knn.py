@@ -26,6 +26,10 @@ from pyspark.sql import functions as F
 from pgosm_flex_spark.index import cells
 
 EARTH_RADIUS_M = 6_371_008.8
+# equatorial circumference — the meters-per-grid-cell scale of the
+# kth-distance bound; ONE definition shared by the driver numpy picker
+# and both distributed column paths so the bound math cannot diverge
+EARTH_CIRCUMFERENCE_M = 40_075_016.7
 
 
 def haversine_m_col(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
@@ -232,6 +236,14 @@ def knn_join_adaptive(
             "streaming top-k's contiguity contract does not survive the "
             "fallback's shuffle join — use the default 'window'"
         )
+    if search_offset < 2:
+        raise ValueError(
+            f"search_offset must be >= 2 (got {search_offset}): the "
+            "kth-distance bound (2*sqrt(2)*1.25 ring widths at r*) is only "
+            "covered by the 3x3 searched ring at s <= r*-2 — a nearer "
+            "search level silently omits true nearest neighbors between "
+            "2c and 2.83c of the point"
+        )
     levels = sorted(set(res_levels), reverse=True)  # finest first
     feats = features.select(
         F.col(feature_id).alias("__fid"),
@@ -286,7 +298,12 @@ def knn_join_adaptive(
             lat_a = plat.to_numpy(dtype=np.float64)
             r_star = np.full(lon_a.shape[0], lv[-1], dtype=np.int64)
             has_bound = np.zeros(lon_a.shape[0], dtype=bool)
-            for r in lv[::-1]:  # coarsest → finest so the finest hit wins
+            # empty feature side: searchsorted's clamped index would be -1
+            # into a zero-length array (IndexError); the coarsest level with
+            # an infinite bound reproduces the non-broadcast path's graceful
+            # empty-join result instead of failing the job
+            lookups = lv[::-1] if len(sorted_cells) else []
+            for r in lookups:  # coarsest → finest so the finest hit wins
                 cell_r = cells.cells_of_points(lon_a, lat_a, r)
                 idx = np.searchsorted(sorted_cells, cell_r)
                 idx_c = np.minimum(idx, len(sorted_cells) - 1)
@@ -294,7 +311,7 @@ def knn_join_adaptive(
                 ok = cnt >= k
                 r_star = np.where(ok, r, r_star)
                 has_bound |= ok
-            cell_m = 40_075_016.7 * np.cos(np.radians(lat_a)) / (2.0 ** r_star)
+            cell_m = EARTH_CIRCUMFERENCE_M * np.cos(np.radians(lat_a)) / (2.0 ** r_star)
             bound = np.where(has_bound, bound_factor * cell_m, np.inf)
             s = np.maximum(r_star - koff, 1).astype(np.int32)
             return pd.DataFrame({"s": s, "bound": bound})
@@ -376,7 +393,7 @@ def knn_join_adaptive(
         )
         r_star = F.coalesce(F.col("__rstar"), F.lit(lv[-1]))
         cell_m = (
-            F.lit(40_075_016.7)
+            F.lit(EARTH_CIRCUMFERENCE_M)
             * F.cos(F.radians(F.col("__plat")))
             / F.pow(F.lit(2.0), r_star.cast("double"))
         )
@@ -419,7 +436,7 @@ def knn_join_adaptive(
     gap_x = F.greatest(F.lit(0.0), cx - F.col("__mx"), F.col("__mx") - (cx + 1))
     gap_y = F.greatest(F.lit(0.0), cy - F.col("__my"), F.col("__my") - (cy + 1))
     grid_to_m = (
-        F.lit(40_075_016.7) * F.cos(F.radians(F.col("__plat"))) / F.col("__n").cast("double")
+        F.lit(EARTH_CIRCUMFERENCE_M) * F.cos(F.radians(F.col("__plat"))) / F.col("__n").cast("double")
     )
     min_dist_m = F.hypot(gap_x, gap_y) * grid_to_m * F.lit(0.95)
     ringed = (

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pgosm_flex_spark.geometry import kernels, wkb as wkb_mod
-from pgosm_flex_spark.geometry.udfs import bbox_udf, centroid_udf
+from pgosm_flex_spark.geometry.udfs import bbox_udf, point_on_surface_udf
 from pgosm_flex_spark.operators.pip_join import pip_join
 
 _NESTED_OSM_TYPES = ["neighborhood", "city", "suburb", "town", "admin_level", "locality"]
@@ -78,8 +78,15 @@ def build_nested_admin_polygons(
         )
     )
 
-    # child representative points (centroids) + bboxes — vectorized UDFs
-    with_geo = polys.withColumn("__c", centroid_udf(F.col("geom_wkb"))).withColumn(
+    # child representative points + bboxes — vectorized UDFs. The
+    # representative MUST lie inside the child (ST_PointOnSurface), not at
+    # its centroid: a concave child's centroid can fall outside the child —
+    # and outside its true container — so centroid candidates silently drop
+    # real ST_Within pairs (including the self-pair the reference's lateral
+    # join always emits).
+    with_geo = polys.withColumn(
+        "__c", point_on_surface_udf(F.col("geom_wkb"))
+    ).withColumn(
         "__b", bbox_udf(F.col("geom_wkb"))
     )
     reps = with_geo.select(
@@ -88,9 +95,10 @@ def build_nested_admin_polygons(
         F.col("__c.lat").alias("lat"),
         F.col("__b").alias("child_bbox"),
     )
-    # candidate containment pairs: child centroid within container polygon
-    # (self included: ST_Within(p, p) is true in the reference); then refine
-    # with the bbox-containment condition
+    # candidate containment pairs: child interior point within container
+    # polygon (self included: the interior point is inside the child by
+    # construction, so ST_Within(p, p) candidates always survive); then
+    # refine with the bbox-containment condition
     pairs = pip_join(
         reps,
         polys,

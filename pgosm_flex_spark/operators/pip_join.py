@@ -161,8 +161,24 @@ def pip_join(
         # repeated joins against the same cover pass res_levels explicitly
         # to skip this job (the checkpointed unit loop does)
         res_levels = cover_res_levels(cover)
+        if res_levels and res_levels[-1] > fine_res:
+            # the ancestor rollup shifts the point's fine cell RIGHT by
+            # (fine_res - res); a cover level finer than fine_res cannot be
+            # probed (negative shift — the JVM masks the count into garbage
+            # cells that match nothing), so those polygons would silently
+            # contribute zero joined points. Probed levels are REAL cover
+            # rows, so this is a genuine mismatch: a precomputed cover built
+            # with a finer fine_res than this call's.
+            raise ValueError(
+                f"cover contains cells at res {res_levels[-1]} finer than "
+                f"fine_res={fine_res}: pass the fine_res the cover was "
+                "built with (build_polygon_cover default 17)"
+            )
     else:
-        res_levels = sorted(set(res_levels))
+        # explicit levels are a perf contract ("a superset is harmless"):
+        # entries finer than fine_res are unreachable by the rollup and, on
+        # a consistent cover, hold no rows — drop them instead of probing
+        res_levels = sorted({r for r in res_levels if r <= fine_res})
 
     # ONE join: each point explodes its ancestor cell at every resolution
     # present in the cover (≤ fine-coarse+1 rows, typically 2-4) and probes

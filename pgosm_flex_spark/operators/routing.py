@@ -127,7 +127,20 @@ def edge_intersection_blades(
     could prune them — O(N²) per coarse cell at scale. The oversized side is
     broadcast when ``broadcast_oversized`` (default): oversized lines are by
     construction the rare cell-budget overflows; pass False to fall back to
-    a shuffle join on cell if that assumption ever breaks."""
+    a shuffle join on cell if that assumption ever breaks.
+
+    ``res`` must be strictly finer than ``fallback_res``: at res ==
+    fallback_res every line's primary cells ARE fallback cells, so the
+    mixed join would pair each line with its own ancestor rows (spurious
+    self-blades at every interior vertex), and res < fallback_res makes
+    cells.parent raise inside an executor."""
+    if res <= fallback_res:
+        raise ValueError(
+            f"edge_intersection_blades needs res > fallback_res (got res="
+            f"{res}, fallback_res={fallback_res}): equal levels self-pair "
+            "every line with its own ancestor cells; finer fallback breaks "
+            "the parent() rollup"
+        )
     covschema = f"{id_col} long, cell long, is_primary boolean, geom_wkb binary" + (
         f", {layer_col} int" if layer_col else ""
     )
@@ -302,7 +315,6 @@ def edge_intersection_blades(
                     bdf, int(s), int(e), combos, n,
                     a_pts, b_pts, a_off, b_off, empty,
                 )
-            continue
 
     return pairs.mapInPandas(cut, schema=out_schema).dropDuplicates(
         ["edge_id", "blade_x", "blade_y"]
@@ -363,13 +375,24 @@ def split_edges_at_blades(
     return with_blades.mapInPandas(run, schema=schema)
 
 
+# blades are QUANTIZED crossing points (np.round(pts*QUANT)/QUANT in the cut
+# stage): a blade on a non-axis-aligned edge sits up to √2/2/QUANT ≈ 7.1e-8
+# deg off the true line, so the on-line tolerance must exceed that or every
+# diagonal crossing is silently dropped and the routing graph disconnects at
+# it (measured: a 1e-9 tolerance rejected 98% of random diagonal crossings;
+# axis-aligned fixtures hid this because their quantized blades land back on
+# the line exactly). 2e-7 ≈ 3× the max quantization offset, and still ~2 cm
+# ground distance — far below any distinct-feature separation.
+BLADE_EPS = 2e-7
+
+
 def _split_polyline(arr: np.ndarray, bx: np.ndarray, by: np.ndarray) -> list[np.ndarray]:
-    """Split a polyline at blade points lying on it (within tolerance)."""
+    """Split a polyline at blade points lying on it (within BLADE_EPS)."""
     seg = arr[1:] - arr[:-1]
     seg_len = np.hypot(seg[:, 0], seg[:, 1])
     cum = np.concatenate([[0.0], np.cumsum(seg_len)])
     total = cum[-1]
-    params = []
+    cuts: dict[float, np.ndarray] = {}
     for x, y in zip(bx, by):
         d = np.array([x, y]) - arr[:-1]
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -378,26 +401,36 @@ def _split_polyline(arr: np.ndarray, bx: np.ndarray, by: np.ndarray) -> list[np.
         proj = arr[:-1] + t[:, None] * seg
         dist = np.hypot(proj[:, 0] - x, proj[:, 1] - y)
         k = int(np.argmin(dist))
-        if dist[k] > 1e-9:
+        if dist[k] > BLADE_EPS:
             continue  # blade not on this line
         s = cum[k] + t[k] * seg_len[k]
-        if s <= 1e-12 or s >= total - 1e-12:
-            continue  # endpoint blade is a no-op
-        params.append(s)
-    if not params:
+        if s <= BLADE_EPS or s >= total - BLADE_EPS:
+            continue  # endpoint blade is a no-op (the endpoint vertex exists)
+        cuts.setdefault(float(s), np.array([x, y]))
+    if not cuts:
         return [arr]
-    params = sorted(set(params))
     pieces = []
     prev = 0.0
-    for s in params + [total]:
-        piece = _substring(arr, cum, seg, seg_len, prev, s)
+    prev_pt: np.ndarray | None = None
+    for s in sorted(cuts) + [total]:
+        # the cut ends at the BLADE coordinate itself, not the projection
+        # onto this line: both crossing edges receive the same quantized
+        # blade, so their pieces end at the identical on-grid point and the
+        # downstream vertex derivation (round(pt*QUANT)) gives both the same
+        # junction vertex id. The projection instead differs per edge by up
+        # to 7.1e-8 — more than half a quantization cell — so the two edges
+        # could round to ADJACENT grid points and the junction would stay
+        # disconnected.
+        piece = _substring(arr, cum, seg, seg_len, prev, s, prev_pt, cuts.get(s))
         if piece.shape[0] >= 2:
             pieces.append(piece)
-        prev = s
+        prev, prev_pt = s, cuts.get(s)
     return pieces
 
 
-def _substring(arr, cum, seg, seg_len, s0, s1) -> np.ndarray:
+def _substring(arr, cum, seg, seg_len, s0, s1, p0=None, p1=None) -> np.ndarray:
+    """Sub-polyline between arc lengths s0..s1; ``p0``/``p1`` override the
+    end coordinates (the shared blade points) when given."""
     def point_at(s):
         k = int(np.searchsorted(cum, s, side="right") - 1)
         k = min(max(k, 0), len(seg_len) - 1)
@@ -405,7 +438,9 @@ def _substring(arr, cum, seg, seg_len, s0, s1) -> np.ndarray:
         return arr[k] + t * seg[k]
 
     inner = [i for i in range(len(arr)) if s0 + 1e-12 < cum[min(i, len(cum) - 1)] < s1 - 1e-12]
-    coords = [point_at(s0)] + [arr[i] for i in inner] + [point_at(s1)]
+    start = p0 if p0 is not None else point_at(s0)
+    end = p1 if p1 is not None else point_at(s1)
+    coords = [start] + [arr[i] for i in inner] + [end]
     out = np.array(coords)
     keep = np.ones(len(out), dtype=bool)
     keep[1:] = np.hypot(*(out[1:] - out[:-1]).T) > 1e-12

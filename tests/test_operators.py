@@ -371,6 +371,58 @@ def test_polygons_within_container_matches_single(world):
         assert (batch == single).all(), cid
 
 
+def test_nested_horseshoe_centroid_outside(spark):
+    """A horseshoe whose centroid falls in its notch (OUTSIDE the polygon)
+    must still appear in the hierarchy with its full container path — the
+    representative point must be an interior point (ST_PointOnSurface), not
+    the centroid, or the candidate join drops the self-pair and every true
+    container of the concave shape."""
+    import pandas as pd
+
+    hs = np.array(
+        [[0, 0], [10, 0], [10, 10], [7, 10], [7, 3], [3, 3], [3, 10],
+         [0, 10], [0, 0]], dtype=np.float64
+    )
+    # a THINNER horseshoe sharing the notch: its material (bar + two arms)
+    # sits strictly inside the outer's, and its centroid lands in the notch
+    # — outside BOTH polygons, so a centroid representative finds neither
+    # the self-pair nor the true container
+    inner = np.array(
+        [[0.5, 0.5], [9.5, 0.5], [9.5, 9.5], [7.2, 9.5], [7.2, 2.8],
+         [2.8, 2.8], [2.8, 9.5], [0.5, 9.5], [0.5, 0.5]], dtype=np.float64
+    )
+    g_out = wkb.decode(wkb.encode_polygon([hs]))
+    g_in = wkb.decode(wkb.encode_polygon([inner]))
+    assert kernels.polygon_within(g_in, g_out)
+    for g in (g_out, g_in):
+        c = kernels.centroid(g)
+        assert not kernels.points_in_rings(
+            np.array([c[0]]), np.array([c[1]]), g.rings
+        )[0], "fixture must have centroid outside (in the notch)"
+    c_in = kernels.centroid(g_in)
+    assert not kernels.points_in_rings(
+        np.array([c_in[0]]), np.array([c_in[1]]), g_out.rings
+    )[0], "child centroid must be outside the CONTAINER too"
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "osm_id": np.array([1, 2], dtype=np.int64),
+                "name": ["Outer U", "Inner U"],
+                "osm_type": ["boundary", "boundary"],
+                "boundary": ["administrative", "administrative"],
+                "admin_level": np.array([4, 6], dtype=np.int32),
+                "geom_wkb": [wkb.encode_polygon([hs]), wkb.encode_polygon([inner])],
+            }
+        )
+    )
+    rows = {r["osm_id"]: r for r in build_nested_admin_polygons(df).collect()}
+    assert set(rows) == {1, 2}
+    assert set(rows[1]["osm_id_path"]) == {1}
+    assert set(rows[2]["osm_id_path"]) == {1, 2}
+    assert rows[2]["nest_level"] == 2
+    assert rows[2]["innermost"] and not rows[1]["innermost"]
+
+
 def test_nested_no_broadcast_fallback(world, spark):
     # broadcast_containers=False must thread through EVERY stage — the inner
     # pip_join's cover, the container-attribute join, and the innermost
@@ -462,3 +514,34 @@ def test_knn_topk_strategy_validated(spark):
         knn_join_adaptive(
             pts, feats, k=1, topk_strategy="stream", broadcast_features=False
         )
+
+
+def test_knn_adaptive_empty_features(spark):
+    """An empty feature side must return an empty result, not crash the
+    level-picker UDF with an IndexError on the zero-length density map."""
+    import pandas as pd
+
+    from pgosm_flex_spark.operators.knn import knn_join_adaptive
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"image_id": ["a", "b"], "lon": [1.0, 2.0], "lat": [1.0, 2.0]})
+    )
+    feats = spark.createDataFrame(
+        [], schema="osm_id long, lon double, lat double"
+    )
+    assert knn_join_adaptive(pts, feats, k=3).count() == 0
+    assert knn_join_adaptive(pts, feats, k=3, broadcast_features=False).count() == 0
+
+
+def test_knn_adaptive_search_offset_validated(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from pgosm_flex_spark.operators.knn import knn_join_adaptive
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"image_id": ["a"], "lon": [1.0], "lat": [1.0]})
+    )
+    with _pytest.raises(ValueError, match="search_offset"):
+        knn_join_adaptive(pts, pts.withColumnRenamed("image_id", "osm_id"),
+                          k=1, search_offset=1)

@@ -355,3 +355,44 @@ def test_segment_pair_intersections_skips_collinear(px, py, ang, r, off):
     b0, b1 = (p + off * d)[None, :], (p + (r + off) * d)[None, :]
     pts, idx = kernels.segment_pair_intersections(a0, a1, b0, b1)
     assert len(pts) == 0
+
+
+# ---------------------------------------------------------------------------
+# point_on_surface — the containment-join representative contract
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), k=st.integers(5, 16))
+def test_point_on_surface_inside_star_shaped(seed, k):
+    """point_on_surface must land strictly INSIDE arbitrary (frequently
+    concave) simple polygons — the property the nested containment join
+    relies on, and exactly where the area centroid fails (a horseshoe's
+    centroid sits in its notch)."""
+    rng = np.random.default_rng(seed)
+    ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+    if np.min(np.diff(ang)) < 1e-3:
+        return  # near-duplicate angles make degenerate slivers
+    rad = rng.uniform(0.5, 10.0, k)
+    ring = np.stack([rad * np.cos(ang), rad * np.sin(ang)], axis=1)
+    ring = np.vstack([ring, ring[:1]])
+    g = wkb.decode(wkb.encode_polygon([ring]))
+    x, y = kernels.point_on_surface(g)
+    assert kernels.points_in_rings(np.array([x]), np.array([y]), g.rings)[0]
+
+
+def test_point_on_surface_horseshoe_and_donut():
+    hs = np.array(
+        [[0, 0], [10, 0], [10, 10], [7, 10], [7, 3], [3, 3], [3, 10],
+         [0, 10], [0, 0]], dtype=np.float64
+    )
+    g = wkb.decode(wkb.encode_polygon([hs]))
+    c = kernels.centroid(g)
+    assert not kernels.points_in_rings(np.array([c[0]]), np.array([c[1]]), g.rings)[0]
+    x, y = kernels.point_on_surface(g)
+    assert kernels.points_in_rings(np.array([x]), np.array([y]), g.rings)[0]
+    outer = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=np.float64)
+    hole = np.array([[2, 2], [8, 2], [8, 8], [2, 8], [2, 2]], dtype=np.float64)
+    g2 = wkb.decode(wkb.encode_polygon([outer, hole]))
+    x2, y2 = kernels.point_on_surface(g2)
+    assert kernels.points_in_rings(np.array([x2]), np.array([y2]), g2.rings)[0]

@@ -420,3 +420,69 @@ def test_blade_chunking_matches_unchunked(spark, grid_roads, monkeypatch):
     b = chunked.sort_values(key).reset_index(drop=True)
     assert len(a) == 18  # 9 crossings x 2 edges receiving each blade
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_diagonal_crossings_split_and_connect(spark):
+    """Non-axis-aligned roads: the quantized blade sits up to ~7e-8 deg off
+    the true line, so the split tolerance must absorb quantization — and
+    both edges must cut at the SAME on-grid blade coordinate so their
+    junction quantizes to one shared vertex. A 1e-9 tolerance silently
+    dropped ~98% of diagonal blades (axis-aligned fixtures hid it: their
+    quantized blades land back on the line exactly), leaving the routing
+    graph disconnected at nearly every diagonal intersection."""
+    rng = np.random.default_rng(11)
+    rows = []
+    # 6 random diagonal chords through a small disc: every pair crosses
+    # inside at a generic (non-grid) point
+    center = np.array([-77.05, 38.85])
+    for i in range(6):
+        ang = np.pi * (i + rng.uniform(0.1, 0.4)) / 6
+        d = np.array([np.cos(ang), np.sin(ang)])
+        # perpendicular offset so no two chords share a crossing point
+        perp = np.array([-d[1], d[0]]) * rng.uniform(-0.004, 0.004)
+        c = center + perp
+        rows.append(
+            (i, line([list(c - 0.02 * d), list(c + 0.02 * d)]),
+             0, 0, 30.0, "residential")
+        )
+    roads = spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=["osm_id", "geom_wkb", "layer", "oneway", "maxspeed", "osm_type"],
+        )
+    )
+    edges, vertices = routing.build_routing_network(roads)
+    e = edges.toPandas()
+    v = vertices.toPandas()
+    # brute-force expected crossings per road
+    geoms = {
+        i: wkb.decode(bytes(r[1]))
+        for i, r in enumerate(rows)
+    }
+    blades = {i: set() for i in geoms}  # quantized, like the operator
+    for i in geoms:
+        for j in geoms:
+            if i < j:
+                pts, _ = kernels.segment_pair_intersections(
+                    geoms[i].rings[0][:-1], geoms[i].rings[0][1:],
+                    geoms[j].rings[0][:-1], geoms[j].rings[0][1:],
+                )
+                for p in np.round(pts * routing.QUANT).astype(np.int64):
+                    blades[i].add(tuple(p))
+                    blades[j].add(tuple(p))
+    exp_splits = {i: len(b) for i, b in blades.items()}
+    # every road splits into (crossings + 1) edges
+    got_counts = e.groupby("osm_id").size().to_dict()
+    for i, nx in exp_splits.items():
+        assert got_counts.get(i, 0) == nx + 1, (i, nx, got_counts)
+    # junctions CONNECT: each crossing is one shared degree-4 vertex
+    n_cross = len(set().union(*blades.values()))
+    deg = v.groupby("degree").size().to_dict()
+    assert deg.get(4, 0) == n_cross, (deg, n_cross)
+
+
+def test_blade_res_validation(spark, grid_roads):
+    with pytest.raises(ValueError, match="res > fallback_res"):
+        routing.edge_intersection_blades(
+            grid_roads.withColumnRenamed("osm_id", "edge_id"), res=6
+        ).count()
