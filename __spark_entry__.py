@@ -1461,15 +1461,14 @@ def _oracle_relational() -> dict[str, str]:
 
 
 def _oracle_docs() -> dict[str, str]:
-    # whitespace tokens: split on single spaces, drop empties (mirrors the
-    # engine's split on / +/)
-    toks = "list_filter(string_split(trim(text), ' '), w -> w <> '')"
+    # whitespace tokens: split on any whitespace RUN, drop empties (mirrors
+    # the engine's split on /\s+/ — Java regex and RE2 agree on ASCII \s)
+    toks = r"list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '')"
     stop = "['the','a','of','and','to','in','is','it']"
     stop_cnt = f"len(list_filter({toks}, w -> list_contains({stop}, lower(w))))"
-    occ = lambda w: (
-        f"CAST((length(' ' || lower(text) || ' ') - "
-        f"length(replace(' ' || lower(text) || ' ', ' {w} ', ' '))) / {len(w) + 1} AS INT)"
-    )
+    toks_lower = r"list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), w -> w <> '')"
+    # token-array count (mirrors word_occurrences: adjacent repeats count)
+    occ = lambda w: f"CAST(len(list_filter({toks_lower}, t -> t = '{w}')) AS INT)"
     score = {
         lang: " + ".join(occ(w) for w in words)
         for lang, words in analysis.LANG_MARKERS.items()
@@ -1521,8 +1520,7 @@ def _oracle_docs() -> dict[str, str]:
     dup_tiers = f"""
         WITH d AS ({dupdocs}),
         t AS (SELECT doc_id,
-                     array_to_string(list_filter(string_split(trim(text), ' '),
-                                                 w -> w <> ''), ' ') AS norm
+                     array_to_string({toks}, ' ') AS norm
               FROM d),
         e AS (SELECT 'exact' AS tier, MIN(doc_id) AS keep_id,
                      COUNT(*) AS n_dups

@@ -27,6 +27,7 @@ from collections.abc import Callable, Iterable
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 JOURNAL_SCHEMA = (
@@ -244,8 +245,9 @@ def checkpointed_pip_join(
         pairs.write.mode("overwrite").parquet(target)
         try:
             n = spark.read.parquet(target).count()
-        except Exception:  # zero-row unit: no part files to infer from
-            n = 0
+        except AnalysisException:  # zero-row unit: no part files to infer from
+            n = 0  # a TRANSIENT read failure must still raise — the unit
+            # would otherwise be journaled completed with a wrong metric
         return {"pairs": n}
 
     results = cp.run_units(

@@ -161,6 +161,22 @@ def _train_centroids(
         .orderBy("__id")
         .toPandas()
     )
+    if len(samp) < n_centroids:
+        # small corpus: the 1-in-sample_step stride can return fewer rows
+        # than centroids (or none at all — np.stack raises on empty).
+        # Degrade to the first n_centroids rows of the full corpus rather
+        # than crashing; fewer rows than centroids → fewer centroids.
+        samp = (
+            corpus.select(
+                F.col(id_col).alias("__id"),
+                F.col(vec_col).cast("array<double>").alias("__v"),
+            )
+            .orderBy("__id")
+            .limit(n_centroids)
+            .toPandas()
+        )
+    if len(samp) == 0:
+        raise ValueError("ivf_cosine_topk: corpus is empty")
     X = np.stack(samp["__v"].to_numpy())
     X = X / (np.linalg.norm(X, axis=1, keepdims=True) + EPS)
     C = X[:n_centroids].copy()

@@ -310,6 +310,11 @@ def merge_into_partitioned(
     """
     if partition_col not in updates.columns:
         raise ValueError(f"updates must carry the partition column {partition_col!r}")
+    # materialize once: the updates plan is consumed FOUR times below
+    # (touched collect, count, anti-join, union write) — for a streaming
+    # foreachBatch caller that plan is the whole micro-batch pipeline and
+    # would re-execute each time
+    updates = updates.localCheckpoint(eager=True)
     touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
     n_up = updates.count()
     if not os.path.isdir(target_dir) or not touched:
@@ -423,7 +428,50 @@ def split_sql_statements(text: str) -> list[str]:
         buf.append(ch)
         i += 1
     stmts.append("".join(buf))
-    return [s for s in (st.strip() for st in stmts) if s]
+    # drop empty AND comment-only segments: a trailing '-- end of deploy'
+    # after the final ';' is not a statement — spark.sql('-- ...') raises
+    # PARSE_EMPTY_STATEMENT and would fail a deploy whose every real
+    # statement succeeded
+    return [
+        s for s in (st.strip() for st in stmts)
+        if s and _strip_sql_comments(s).strip()
+    ]
+
+
+def _strip_sql_comments(stmt: str) -> str:
+    """Remove -- line and /* block comments (outside string/backtick
+    literals) so comment-only segments can be detected."""
+    out: list[str] = []
+    i, n = 0, len(stmt)
+    state = None  # None | "'" | '"' | '`'
+    while i < n:
+        ch = stmt[i]
+        nxt = stmt[i + 1] if i + 1 < n else ""
+        if state is None:
+            if ch == "-" and nxt == "-":
+                while i < n and stmt[i] != "\n":
+                    i += 1
+                continue
+            if ch == "/" and nxt == "*":
+                i += 2
+                while i + 1 < n and not (stmt[i] == "*" and stmt[i + 1] == "/"):
+                    i += 1
+                i += 2
+                continue
+            if ch in ("'", '"', "`"):
+                state = ch
+        elif state in ("'", '"') and ch == state:
+            if nxt == state:  # doubled-quote escape stays in the string
+                out.append(ch)
+                i += 1
+                ch = nxt
+            else:
+                state = None
+        elif state == "`" and ch == "`":
+            state = None
+        out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def run_sql_scripts(spark: SparkSession, scripts: list[str], schema_name: str) -> None:
@@ -431,5 +479,9 @@ def run_sql_scripts(spark: SparkSession, scripts: list[str], schema_name: str) -
     (/root/reference/docker/db.py:437-463 runs DDL files with schema
     substitution; flex-config/run-sql.lua:39-92 rewrites 'osm.' prefixes)."""
     for text in scripts:
-        for stmt in split_sql_statements(text.format(schema_name=schema_name)):
+        # targeted placeholder replace, NOT str.format: a literal brace in
+        # the SQL (JSON default, regex quantifier '[0-9]{2}') must pass
+        # through untouched instead of raising KeyError / mangling '{{'
+        templated = text.replace("{schema_name}", schema_name)
+        for stmt in split_sql_statements(templated):
             spark.sql(stmt)

@@ -55,14 +55,29 @@ def incremental_pip_refresh(
     )
     recomputed = pip_join(affected_pts, polygons, point_cols=point_cols)
 
+    key = point_cols[0]
+    # invalidate stale pairs two ways:
+    #  - by cell: any prev pair whose stored location falls in a touched cell
+    #    (the per-region rebuild contract)
+    #  - by id:   any prev pair whose point id appears in the diff. A diff
+    #    that carries only the NEW coordinates of a moved point (or only the
+    #    id of a deleted one) does not touch the OLD location's cell, so the
+    #    cell rule alone would keep the stale pair forever. Callers that
+    #    pass old+new rows per change (the replication-diff convention) are
+    #    covered by either rule; both conventions now yield a full-recompute
+    #    match.
+    diff_ids = diff_points.select(key).distinct()
     prev_cell = prev_pairs.withColumn(
         "__cell", cells.cell_col(F.col("lon"), F.col("lat"), res)
     )
-    kept = prev_cell.join(
-        F.broadcast(touched), prev_cell["__cell"] == touched["cell"], "left_anti"
-    ).drop("__cell")
+    kept = (
+        prev_cell.join(
+            F.broadcast(touched), prev_cell["__cell"] == touched["cell"], "left_anti"
+        )
+        .join(F.broadcast(diff_ids), key, "left_anti")
+        .drop("__cell")
+    )
     # recomputed pairs need lon/lat re-attached for future refreshes
-    key = point_cols[0]
     coords = all_points.select(key, "lon", "lat")
     recomputed_full = recomputed.join(coords, key)
     return kept.unionByName(recomputed_full.select(*prev_pairs.columns))
@@ -78,8 +93,12 @@ def stream_tile_counts(
     watermark: str = "30 minutes",
 ):
     """File-source Structured Stream: JSON point rows (ts, lon, lat) →
-    watermarked event-time windows × z/x/y tile counts, merged to parquet
-    per micro-batch. Returns the StreamingQuery (caller awaits/stops)."""
+    watermarked event-time windows × z/x/y tile counts, MERGE-upserted to
+    parquet per micro-batch keyed by (window_start, x, y) — update mode
+    re-emits a window every time late-but-in-watermark data changes its
+    count, so a blind append would leave one row per emission and a consumer
+    summing ``n`` would overcount. Output is partitioned by ``w_p``
+    (window-start minute). Returns the StreamingQuery (caller awaits/stops)."""
     from pgosm_flex_spark.index.tiles import tile_x_col, tile_y_col
 
     schema = "ts timestamp, lon double, lat double, image_id string"
@@ -98,7 +117,18 @@ def stream_tile_counts(
     )
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(output_dir)
+        from pgosm_flex_spark.sinks import merge_into_partitioned
+
+        upd = batch_df.withColumn(
+            "w_p", F.date_format(F.col("window_start"), "yyyyMMddHHmm")
+        )
+        merge_into_partitioned(
+            batch_df.sparkSession,
+            output_dir,
+            upd,
+            key_cols=["window_start", "x", "y"],
+            partition_col="w_p",
+        )
 
     return (
         tiled.writeStream.outputMode("update")

@@ -36,7 +36,12 @@ def stream_first_seen(
     carried = ", ".join(
         f"{c} {stream.schema[c].dataType.simpleString()}" for c in carry_cols
     )
-    out_schema = f"{key_col} long, {id_col} string" + (f", {carried}" if carried else "")
+    # key/id types come from the input schema too — a string content-hash
+    # key or a long id would otherwise hit an applyInPandasWithState
+    # output-schema mismatch at runtime
+    key_t = stream.schema[key_col].dataType.simpleString()
+    id_t = stream.schema[id_col].dataType.simpleString()
+    out_schema = f"{key_col} {key_t}, {id_col} {id_t}" + (f", {carried}" if carried else "")
     state_schema = "seen boolean"
 
     def dedup(
@@ -78,11 +83,14 @@ def run_first_seen_stream(
     output_dir: str,
     key_col: str = "phash",
     id_col: str = "image_id",
+    key_type: str = "long",
 ):
     """File-source wrapper: JSON rows (phash, image_id) → first-seen rows
     appended to parquet, availableNow trigger (drains what's there and
-    stops — rerun after new files arrive to continue from state)."""
-    schema = f"{key_col} long, {id_col} string"
+    stops — rerun after new files arrive to continue from state).
+    ``key_type``: reader type of the key column (a hex-digest content hash
+    streams as ``string``)."""
+    schema = f"{key_col} {key_type}, {id_col} string"
     stream = spark.readStream.schema(schema).json(input_dir)
     deduped = stream_first_seen(stream, key_col=key_col, id_col=id_col)
 

@@ -23,8 +23,11 @@ STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
 
 
 def tokens_col(text: Column) -> Column:
-    """Whitespace tokenization; empty string → empty array."""
-    return F.filter(F.split(F.trim(text), " +"), lambda w: w != "")
+    """Whitespace tokenization (any whitespace run: space, tab, newline);
+    empty string → empty array. The Java ``\\s`` class and DuckDB's RE2
+    ``\\s`` agree on ASCII whitespace, which is all the fixtures and the
+    oracle exercise."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
 
 
 def token_count(text: Column) -> Column:
@@ -50,13 +53,11 @@ def bpe_ish_token_count(text: Column) -> Column:
 
 
 def word_occurrences(text: Column, word: str) -> Column:
-    """Occurrences of ``word`` as a whitespace-delimited token."""
-    padded = F.concat(F.lit(" "), text, F.lit(" "))
-    needle = f" {word} "
-    return (
-        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(" "))))
-        / F.lit(len(needle) - 1)
-    ).cast("int")
+    """Occurrences of ``word`` as a whitespace-delimited token. Counts over
+    the token array, so adjacent repeats all count (the earlier padded
+    non-overlapping replace consumed the shared delimiter: 'the the the'
+    counted 2, not 3) and any whitespace class delimits."""
+    return F.size(F.filter(tokens_col(text), lambda w: w == F.lit(word))).cast("int")
 
 
 def stopword_ratio(text: Column) -> Column:

@@ -279,3 +279,49 @@ def test_incremental_refresh_to_storage(spark, tmp_path):
         part = f.split("cell_p=")[1].split("/")[0]
         if part not in touched_vals:
             assert _os.path.getmtime(f) == mt, f
+
+
+def test_incremental_refresh_new_coords_only_move_and_delete(spark):
+    """Regression: a diff carrying only the NEW coordinates of a moved point
+    (or only the id of a deleted one) left the OLD location's pair in the
+    output forever — the cell rule never touched the old cell. The id rule
+    now invalidates any prev pair whose point appears in the diff."""
+    osm = fixtures.osm_objects_df(spark)
+    polys = relation_member_dedup(build_layer_tables(osm)["place_polygon"]).filter(
+        F.col("geom_wkb").isNotNull()
+    ).persist()
+
+    base = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": [f"i{i}" for i in range(200)],
+                "lon": [fixtures.point_lonlat(i)[0] for i in range(200)],
+                "lat": [fixtures.point_lonlat(i)[1] for i in range(200)],
+            }
+        )
+    )
+    prev_pairs = pip_join(base, polys, point_cols=["image_id"]).join(
+        base.select("image_id", "lon", "lat"), "image_id"
+    ).persist()
+    assert prev_pairs.filter(F.col("image_id").isin("i7", "i9")).count() > 0
+
+    # move i7 FAR away (old res-6 cell untouched by the new position);
+    # delete i9, represented only by its id (null coords)
+    moved = base.filter(F.col("image_id") == "i7").withColumn(
+        "lon", F.col("lon") + F.lit(40.0)
+    )
+    deleted = spark.createDataFrame(
+        pd.DataFrame({"image_id": ["i9"], "lon": [None], "lat": [None]})
+    ).select("image_id", F.col("lon").cast("double"), F.col("lat").cast("double"))
+    diff = moved.unionByName(deleted)
+    all_pts = base.filter(~F.col("image_id").isin("i7", "i9")).unionByName(moved)
+
+    refreshed = incremental.incremental_pip_refresh(
+        spark, all_pts, diff, polys, prev_pairs, point_cols=["image_id"]
+    )
+    full = pip_join(all_pts, polys, point_cols=["image_id"])
+    got = {(r["image_id"], r["osm_id"]) for r in refreshed.select("image_id", "osm_id").collect()}
+    exp = {(r["image_id"], r["osm_id"]) for r in full.collect()}
+    assert got == exp
+    # the deleted point's pairs are gone, and no stale i7 row survives
+    assert not any(i == "i9" for i, _ in got)

@@ -276,3 +276,40 @@ def test_export_bundle_routed_empty_source(spark, tmp_path):
     )
     assert m["routed"] is True
     assert m["tables"] and all(v == 0 for v in m["tables"].values())
+
+
+def test_run_sql_scripts_literal_braces_pass_through(spark):
+    """Regression: str.format templating raised KeyError/IndexError on any
+    literal brace in the SQL (regex quantifier, JSON default) and silently
+    rewrote '{{' to '{'. Templating is now a targeted placeholder replace."""
+    run_sql_scripts(
+        spark,
+        [
+            "CREATE OR REPLACE TEMP VIEW {schema_name}_braces AS "
+            "SELECT regexp_replace('ab12cd', '[0-9]{2}', '#') AS r, "
+            "'{\"a\": 1}' AS j, '{{literal}}' AS dbl",
+        ],
+        schema_name="vbr",
+    )
+    row = spark.sql("SELECT r, j, dbl FROM vbr_braces").collect()[0]
+    assert row["r"] == "ab#cd"
+    assert row["j"] == '{"a": 1}'
+    assert row["dbl"] == "{{literal}}"
+
+
+def test_split_sql_statements_drops_comment_only_segments(spark):
+    from pgosm_flex_spark.sinks import split_sql_statements
+
+    stmts = split_sql_statements(
+        "SELECT 1;\n-- end of deploy\n"
+    )
+    assert stmts == ["SELECT 1"]
+    stmts = split_sql_statements(
+        "/* header */ SELECT 2; /* footer only */;\n--tail"
+    )
+    assert len(stmts) == 1 and "SELECT 2" in stmts[0]
+    # a comment-only SCRIPT is a no-op, not a ParseException
+    run_sql_scripts(spark, ["-- nothing to do\n"], schema_name="unused")
+    # but comments inside a real statement ride through
+    stmts = split_sql_statements("SELECT 3 -- inline\n;")
+    assert stmts == ["SELECT 3 -- inline"]

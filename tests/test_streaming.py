@@ -173,3 +173,55 @@ def test_stream_import_two_rounds_with_restart_equals_batch(spark, tmp_path):
     assert got.count() == exp.count()
     assert got.exceptAll(exp).count() == 0
     assert exp.exceptAll(got).count() == 0
+
+
+def test_stream_tile_counts_update_reemission_merges_not_appends(spark, tmp_path):
+    """Regression: update-mode re-emission of a window whose count grew was
+    blindly appended, leaving one row per emission for the same
+    (window_start, x, y) — a consumer summing n overcounted."""
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    lon, lat = fixtures.point_lonlat(1)
+
+    _write_json(
+        os.path.join(inp, "b1.json"),
+        [{"ts": "2026-08-16T11:00:00", "lon": lon, "lat": lat, "image_id": "a"}],
+    )
+    q = stream_tile_counts(spark, inp, ckpt, out, zoom=12, window="10 minutes")
+    q.awaitTermination(120)
+
+    # same window gains a second row in a later run -> update re-emits n=2
+    _write_json(
+        os.path.join(inp, "b2.json"),
+        [{"ts": "2026-08-16T11:01:00", "lon": lon, "lat": lat, "image_id": "b"}],
+    )
+    q2 = stream_tile_counts(spark, inp, ckpt, out, zoom=12, window="10 minutes")
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    # exactly one row per key, carrying the UPDATED count
+    assert got.count() == 1
+    assert got.collect()[0]["n"] == 2
+
+
+def test_stream_first_seen_string_key(spark, tmp_path):
+    """Regression: the output schema hardcoded the key as long — a string
+    content-hash key hit an applyInPandasWithState schema mismatch."""
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_json(
+        os.path.join(inp, "b1.json"),
+        [
+            {"digest": "beef", "image_id": "b"},
+            {"digest": "beef", "image_id": "a"},
+            {"digest": "cafe", "image_id": "c"},
+        ],
+    )
+    q = run_first_seen_stream(
+        spark, inp, ckpt, out, key_col="digest", key_type="string"
+    )
+    q.awaitTermination(120)
+    got = {r["digest"]: r["image_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {"beef": "a", "cafe": "c"}

@@ -442,3 +442,64 @@ def test_bucket_pairs_payload_binding_and_star_semantics(spark):
         banded, "id", ["band", "bucket"], star_threshold=None, payload_cols=["p"]
     )
     assert exact.count() == 3 + 19 * 20 // 2
+
+
+def test_whitespace_classes_and_adjacent_repeats(spark):
+    """Regression: tokens_col used to split on literal spaces only (a
+    newline fused cross-line tokens) and word_occurrences' non-overlapping
+    padded replace consumed the shared delimiter ('the the the' counted 2).
+    """
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "foo\nbar\tbaz  qux",
+                    "the the the",
+                    "la la la la",
+                ],
+            }
+        )
+    )
+    toks = df.select(
+        "doc_id", analysis.tokens_col(F.col("text")).alias("t")
+    ).toPandas().set_index("doc_id")["t"]
+    assert list(toks[0]) == ["foo", "bar", "baz", "qux"]
+    assert list(toks[1]) == ["the", "the", "the"]
+
+    occ = df.select(
+        "doc_id",
+        analysis.word_occurrences(F.col("text"), "the").alias("n_the"),
+        analysis.word_occurrences(F.col("text"), "la").alias("n_la"),
+        analysis.predict_lang(F.col("text")).alias("lang"),
+    ).toPandas().set_index("doc_id")
+    assert occ.loc[1, "n_the"] == 3
+    assert occ.loc[2, "n_la"] == 4
+    # 'la' is an es marker; 'the' an en marker — both must count repeats
+    assert occ.loc[1, "lang"] == "en"
+    assert occ.loc[2, "lang"] == "es"
+    # and line-wrapped near-duplicates now normalize identically
+    wrapped = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["a b c d", "a\nb c\td"]})
+    )
+    fps = analysis.analyze(wrapped).toPandas()["fingerprint"]
+    assert fps[0] == fps[1]
+
+
+def test_ivf_small_corpus_survives_empty_stride_sample(spark):
+    """Regression: a corpus small enough that the 1-in-sample_step id-hash
+    stride selects zero rows crashed _train_centroids (np.stack on empty)."""
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(10, 8)).astype(float)
+    pdf = pd.DataFrame(
+        {"vec_id": [f"v{i}" for i in range(10)], "embedding": list(map(list, vecs))}
+    )
+    corpus = spark.createDataFrame(pdf)
+    # enormous stride -> empty sample deterministically for these ids
+    out = ann.ivf_cosine_topk(
+        corpus, corpus, k=1, n_centroids=4, nprobe=4, sample_step=1_000_000_007
+    ).toPandas()
+    # every query reaches a rank-1 neighbor (self-pairs excluded by design)
+    assert len(out) == 10
+    assert (out["rank"] == 1).all()
+    assert (out["query_id"] != out["neighbor_id"]).all()
