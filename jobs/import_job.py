@@ -203,12 +203,26 @@ def main() -> int:
     # reference's per-region invalidation instead of row patching)
     touched_units = None
     expected_units = None
+    job_salt = ""
     if args.mode == "append" and args.diff:
         from pgosm_flex_spark.streaming.incremental import affected_cells
 
         diff_pts = tagf.with_lonlat(spark.read.parquet(args.diff)).filter(
             F.col("lon").isNotNull()
         )
+        # the checkpoint job identity must include the DIFF CONTENT, not
+        # just (region, date): an append run that reuses the previous
+        # --date (it defaults to 1970-01-01) would otherwise find every
+        # touched unit already journaled completed, skip all recomputation,
+        # and report success while silently ignoring the diff. bit_xor of
+        # row hashes is order-independent and overflow-free, so a crashed
+        # append of the SAME diff still resumes its completed units while
+        # any new diff content forces its touched cells to recompute.
+        sig_row = diff_pts.agg(
+            F.expr("bit_xor(xxhash64(image_id, lon, lat))").alias("sig"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        job_salt = "-d%x" % (((sig_row["sig"] or 0) ^ sig_row["n"]) % (1 << 64))
         touched = affected_cells(diff_pts, res=args.unit_res)
         # every touched cell must recompute even if it ends up with ZERO
         # points (the diff removed/moved its last rows) — otherwise its
@@ -271,7 +285,7 @@ def main() -> int:
     fut_export = pool.submit(do_export)
 
     # 5. flagship containment join, checkpointed per coarse cell; in append
-    # mode pts is already restricted to touched cells and the dated job_id
+    # mode pts is already restricted to touched cells and the diff-salted job_id
     # makes their units recompute while untouched unit dirs persist
     _last = time.time()
     pair_metrics = {}
@@ -282,7 +296,7 @@ def main() -> int:
             pts.select("image_id", "lon", "lat", "__unit"),
             polys,
             os.path.join(args.out, "image_place_pairs"),
-            job_id=f"{args.region}-{args.date}",
+            job_id=f"{args.region}-{args.date}{job_salt}",
             point_cols=["image_id"],
             unit_res=args.unit_res,
             expected_units=expected_units,

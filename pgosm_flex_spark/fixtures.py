@@ -243,9 +243,7 @@ def video_df(spark: SparkSession, n: int) -> DataFrame:
 # feature side: admin hierarchy + streets + misc features
 # ---------------------------------------------------------------------------
 
-def _rect_wkb(x0: float, y0: float, x1: float, y1: float) -> bytes:
-    ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=np.float64)
-    return wkb.encode_polygon([ring])
+_rect_wkb = wkb.encode_rect
 
 
 ADMIN_GRIDS = [
@@ -256,9 +254,22 @@ ADMIN_GRIDS = [
     (8, 9, "suburb", "Suburb"),
     (16, 10, "neighbourhood", "Nbhd"),
 ]
-# shrink factor keeps child polygons strictly inside parents and off shared
-# edges (PIP boundary ties are undefined; SURVEY.md §7.3)
-_SHRINK = 0.995
+# Per-level ABSOLUTE inset (degrees) off the shared grid lines, strictly
+# increasing with depth: at a grid line two levels share, the finer cell's
+# edge sits strictly inside the coarser cell's — which is what makes every
+# level-g cell strictly inside exactly one ancestor per coarser level (and
+# keeps all edges off each other; PIP boundary ties are undefined,
+# SURVEY.md §7.3). A PROPORTIONAL shrink cannot do this: a 0.995 factor
+# insets a finer cell by a SMALLER absolute margin than its parent, so at
+# shared grid lines every child poked past its parent's shrunk edge and no
+# consecutive-level strict containment existed at all (verified by brute
+# force; levels 8/9/10 had zero direct-parent pairs). e is sized well below
+# the finest cell (span/16 ≈ 0.014°) so no cell degenerates.
+_INSET_E = 2e-5
+
+
+def _level_inset(level_idx: int) -> float:
+    return _INSET_E * level_idx
 
 
 def admin_polygons() -> pd.DataFrame:
@@ -266,15 +277,16 @@ def admin_polygons() -> pd.DataFrame:
     exactly one ancestor per coarser level → closed-form nesting oracle."""
     rows = []
     osm_id = 1000
-    for grid_n, admin_level, place_tag, prefix in ADMIN_GRIDS:
+    for level_idx, (grid_n, admin_level, place_tag, prefix) in enumerate(ADMIN_GRIDS):
         dx = (LON_MAX - LON_MIN) / grid_n
         dy = (LAT_MAX - LAT_MIN) / grid_n
+        inset = _level_inset(level_idx)
         for gx in range(grid_n):
             for gy in range(grid_n):
                 cx = LON_MIN + (gx + 0.5) * dx
                 cy = LAT_MIN + (gy + 0.5) * dy
-                hw = dx / 2 * (_SHRINK ** (1 if grid_n > 1 else 0))
-                hh = dy / 2 * (_SHRINK ** (1 if grid_n > 1 else 0))
+                hw = dx / 2 - inset
+                hh = dy / 2 - inset
                 tags = {"boundary": "administrative", "admin_level": str(admin_level),
                         "name": f"{prefix} {gx}-{gy}"}
                 if place_tag:
@@ -301,7 +313,11 @@ def street_grid(n_each: int = 8) -> pd.DataFrame:
         y = LAT_MIN + (LAT_MAX - LAT_MIN) * frac
         x = LON_MIN + (LON_MAX - LON_MIN) * frac
         hw_type = _HIGHWAYS[k % len(_HIGHWAYS)]
-        tags_h = {"highway": hw_type, "name": f"H Street {k}", "maxspeed": _MAXSPEEDS[k % 3] or "25"}
+        # modulus over the FULL list so the None entry (no maxspeed tag)
+        # actually occurs and the "25" default path is exercised — k % 3
+        # could only ever index the three truthy entries
+        tags_h = {"highway": hw_type, "name": f"H Street {k}",
+                  "maxspeed": _MAXSPEEDS[k % len(_MAXSPEEDS)] or "25"}
         # mix the textual direction values ('yes' is the most common OSM
         # one-way tagging) with numeric ones so parse_oneway's direction-type
         # mapping is exercised, not just try_cast-able strings

@@ -255,8 +255,10 @@ def osm_url(geom_type: Column, osm_id: Column) -> Column:
 
 
 def maxspeed_mph(maxspeed_kmh: Column) -> Column:
-    """Generated maxspeed_mph (/root/reference/db/deploy/pgosm_road.sql:16-18)."""
-    return maxspeed_kmh * F.lit(0.621371)
+    """Generated maxspeed_mph (/root/reference/db/deploy/pgosm_road.sql:16-18:
+    ``maxspeed / 1.609344`` — the same formula sources/lookup.py applies, so
+    the two surfaces can never drift in the low digits)."""
+    return maxspeed_kmh / F.lit(1.609344)
 
 
 def kmh_to_seconds_per_meter(speed_kmh: Column) -> Column:

@@ -94,10 +94,15 @@ def centroid(geom: wkb_mod.Geom) -> tuple[float, float]:
         if wsum == 0.0:
             return float(geom.rings[0][0, 0]), float(geom.rings[0][0, 1])
         return cx / wsum, cy / wsum
+    # compute in a LOCAL frame (first vertex at the origin): at real-world
+    # coordinates (lon ≈ -77) the raw shoelace cross-products cancel ~4
+    # significant digits; centering removes that cancellation and makes the
+    # result translation-stable
+    ox, oy = float(geom.rings[0][0, 0]), float(geom.rings[0][0, 1])
     a_sum = cx_sum = cy_sum = 0.0
     for ring in geom.rings:
-        x, y = ring[:-1, 0], ring[:-1, 1]
-        x1, y1 = ring[1:, 0], ring[1:, 1]
+        x, y = ring[:-1, 0] - ox, ring[:-1, 1] - oy
+        x1, y1 = ring[1:, 0] - ox, ring[1:, 1] - oy
         cross = x * y1 - x1 * y
         a = 0.5 * float(cross.sum())
         a_sum += a
@@ -106,7 +111,7 @@ def centroid(geom: wkb_mod.Geom) -> tuple[float, float]:
     if a_sum == 0.0:
         allc = np.concatenate(geom.rings, axis=0)
         return float(allc[:, 0].mean()), float(allc[:, 1].mean())
-    return cx_sum / a_sum, cy_sum / a_sum
+    return cx_sum / a_sum + ox, cy_sum / a_sum + oy
 
 
 def point_on_surface(geom: wkb_mod.Geom) -> tuple[float, float]:

@@ -78,6 +78,16 @@ def encode_polygon(rings: list[np.ndarray]) -> bytes:
     return b"".join(out)
 
 
+def encode_rect(x0: float, y0: float, x1: float, y1: float) -> bytes:
+    """Axis-aligned rectangle → WKB polygon (CCW ring, closed). The one
+    shared implementation for every synthetic-world builder — ring
+    orientation/closure conventions live here, next to the codec."""
+    ring = np.array(
+        [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=np.float64
+    )
+    return encode_polygon([ring])
+
+
 def encode_multilinestring(parts: list[np.ndarray]) -> bytes:
     out = [_HDR.pack(1, MULTILINESTRING), _U32.pack(len(parts))]
     out.extend(encode_linestring(p) for p in parts)

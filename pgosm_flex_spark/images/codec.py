@@ -137,6 +137,11 @@ def synth_audio(i: int, sample_rate: int = 16000, seconds: float = 1.0) -> np.nd
 
 def encode_video(frames: list[np.ndarray], fps: int) -> bytes:
     """list of (h, w, 3) uint8 frames → fake video container."""
+    if not frames:
+        raise ValueError(
+            "encode_video: need at least one frame (frame dimensions come "
+            "from frames[0]; a 0-frame container has no defined w/h)"
+        )
     h, w, _ = frames[0].shape
     hdr = _MAGIC_VID + struct.pack("<IIII", len(frames), h, w, fps)
     chunks = [

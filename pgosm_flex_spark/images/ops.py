@@ -94,6 +94,12 @@ def extract_features(images: DataFrame, grid: int = 4) -> DataFrame:
             for r in b.itertuples(index=False):
                 arr = codec.decode(bytes(r.bytes)).astype(np.float32)
                 h, w, _ = arr.shape
+                if h < grid or w < grid:
+                    # an image smaller than the pooling grid would create
+                    # empty slices (NaN means); nearest-neighbor upsample
+                    # to the grid first — deterministic, value-preserving
+                    arr = _resize_nearest(arr, max(h, grid), max(w, grid))
+                    h, w, _ = arr.shape
                 ys = np.linspace(0, h, grid + 1, dtype=int)
                 xs = np.linspace(0, w, grid + 1, dtype=int)
                 v = [
@@ -199,7 +205,13 @@ def frame_audio_energy(rows: DataFrame, frame_ms: int = 25) -> DataFrame:
             # reshape + mean per group instead of per-row numpy calls
             decoded: list[tuple[str, np.ndarray, int]] = []
             for r in b.itertuples(index=False):
-                pcm, sr = codec.decode_audio_bytes(bytes(r.bytes))
+                try:
+                    pcm, sr = codec.decode_audio_bytes(bytes(r.bytes))
+                except Exception:
+                    # corrupt payload: emit zero frames for THIS row (the
+                    # audio_stats decode_ok=False analog — this schema has
+                    # no status column) instead of failing the whole batch
+                    continue
                 decoded.append((r.audio_id, pcm, sr))
             groups: dict[tuple[int, int], list[int]] = {}
             for i, (_aid, pcm, sr) in enumerate(decoded):

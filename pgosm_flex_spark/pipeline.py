@@ -44,12 +44,17 @@ def flagship_place_counts(
     cover = build_polygon_cover(polys).persist()
     pairs = pip_join(pts, polys, point_cols=["image_id"], cover=cover)
     attrs = polys.select("osm_id", "osm_type", "admin_level")
-    return (
+    out = (
         pairs.join(F.broadcast(attrs), "osm_id")
         .groupBy("osm_type", "admin_level")
         .agg(F.count(F.lit(1)).alias("n_images"))
         .orderBy("osm_type", "admin_level")
+        # eager: the cached cover must not outlive this call (repeated
+        # sweeps would otherwise pile one orphaned persist per call)
+        .localCheckpoint(eager=True)
     )
+    cover.unpersist(blocking=False)
+    return out
 
 
 def flagship_tiles(images: DataFrame, zoom: int = 12) -> DataFrame:

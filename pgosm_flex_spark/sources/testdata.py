@@ -327,9 +327,7 @@ def street_crossing_sql() -> dict[str, str]:
     }
 
 
-def _rect(x0: float, y0: float, x1: float, y1: float) -> bytes:
-    ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=np.float64)
-    return wkb.encode_polygon([ring])
+_rect = wkb.encode_rect
 
 
 def concave_world(spark: SparkSession, sf_dir: str) -> DataFrame:

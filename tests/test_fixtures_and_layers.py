@@ -228,3 +228,26 @@ def test_qc_tag_suggestions_rules(spark):
     assert got[8] == {qc.SUGGESTION_NATURAL_STREET_LAMP}
     assert got[9] == {qc.SUGGESTION_MISSING_STREET}
     assert got[11] == {qc.SUGGESTION_BENCH, qc.SUGGESTION_SHOP_CAFE}
+
+
+def test_admin_hierarchy_strict_nesting_invariant():
+    """Regression: the proportional 0.995 shrink inset finer cells by a
+    SMALLER absolute margin than their parents, so at shared grid lines no
+    level below state was strictly inside its direct parent (levels 8/9/10
+    had ZERO direct-parent containment pairs). Absolute per-level insets
+    now make every cell strictly inside exactly one ancestor per coarser
+    level — the closed-form oracle the docstring promises."""
+    from pgosm_flex_spark.geometry import kernels, wkb
+
+    adm = fixtures.admin_polygons()
+    by_level: dict[int, list] = {}
+    for _, r in adm.iterrows():
+        by_level.setdefault(int(r["tags"]["admin_level"]), []).append(
+            wkb.decode(r["geom_wkb"])
+        )
+    levels = sorted(by_level)
+    assert levels == [2, 4, 8, 9, 10]
+    for pl, cl in zip(levels, levels[1:]):
+        for cg in by_level[cl]:
+            n_parents = sum(kernels.polygon_within(cg, pg) for pg in by_level[pl])
+            assert n_parents == 1, (pl, cl, n_parents)

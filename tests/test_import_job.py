@@ -224,3 +224,65 @@ def test_dry_run_preserves_prior_real_manifest(spark, tmp_path):
     assert rc == 0
     after = json.load(open(os.path.join(out, "manifest.json")))
     assert after == real
+
+
+def test_append_same_date_still_applies_diff(spark, tmp_path):
+    """Regression: the checkpoint job_id was (region, --date) only, so an
+    append that did not pass a NEW --date found every touched unit already
+    journaled completed, skipped all recomputation, and reported success
+    while silently ignoring the diff. The job_id now carries a diff-content
+    signature."""
+    out = str(tmp_path / "job")
+    diff_dir = str(tmp_path / "diff")
+    full_dir = str(tmp_path / "full")
+    rc = run_job(
+        ["--out", out, "--n-images", "800", "--layerset", "minimal",
+         "--skip-nested", "--unit-res", "13"]  # default --date on purpose
+    )
+    assert rc == 0
+
+    all_imgs = fixtures.images_df(spark, 950, with_pixels=False)
+    all_imgs.write.parquet(full_dir)
+    all_imgs.filter(F.col("image_id") >= "img000000000800").write.parquet(diff_dir)
+
+    # append with the SAME (default) date — the diff must still be applied
+    rc = run_job(
+        ["--out", out, "--input", full_dir, "--diff", diff_dir,
+         "--mode", "append", "--layerset", "minimal", "--skip-nested",
+         "--unit-res", "13"]
+    )
+    assert rc == 0
+    manifest = json.load(open(os.path.join(out, "manifest.json")))
+    assert manifest["pip_units"]["skipped_resume"] == 0  # nothing skipped
+
+    from pgosm_flex_spark.functions import tags as tagf
+    from pgosm_flex_spark.layers import build_layer_tables
+    from pgosm_flex_spark.operators import pip_join, relation_member_dedup
+
+    pts = tagf.with_tags(all_imgs).select("image_id", "lon", "lat")
+    osm = fixtures.osm_objects_df(spark)
+    polys = relation_member_dedup(
+        build_layer_tables(osm, layerset="minimal")["place_polygon"]
+    ).filter(F.col("geom_wkb").isNotNull())
+    exp = pip_join(pts, polys, point_cols=["image_id"]).select("image_id", "osm_id")
+    got = spark.read.parquet(*glob.glob(f"{out}/image_place_pairs/unit=*")).select(
+        "image_id", "osm_id"
+    )
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+
+    # replaying the SAME diff resumes: its units are journaled under the
+    # diff-salted job id, so the rerun skips them all — and output is intact
+    rc = run_job(
+        ["--out", out, "--input", full_dir, "--diff", diff_dir,
+         "--mode", "append", "--layerset", "minimal", "--skip-nested",
+         "--unit-res", "13"]
+    )
+    assert rc == 0
+    manifest = json.load(open(os.path.join(out, "manifest.json")))
+    assert manifest["pip_units"]["skipped_resume"] == manifest["pip_units"]["total"]
+    got2 = spark.read.parquet(*glob.glob(f"{out}/image_place_pairs/unit=*")).select(
+        "image_id", "osm_id"
+    )
+    assert got2.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got2).count() == 0

@@ -124,9 +124,15 @@ def test_nested_admin_polygons(world):
     assert all(r["name_path"][0].startswith("Country") for r in nb)
     states = [r for r in rows.values() if r["name"].startswith("State")]
     assert all(not r["innermost"] for r in states)
-    # dedup consequence: the 8 member suburbs are gone, so 30+ neighbourhoods
-    # lost their suburb container (nest_level 4) — engine must reflect that
-    assert sum(1 for r in nb if r["nest_level"] == 4) >= 30
+    # dedup consequence: the 8 member suburbs (gx=0 column) are gone, so
+    # EXACTLY their 32 children stop at nest_level 4; every other
+    # neighbourhood reaches the full country>state>city>suburb>self chain.
+    # (Before the absolute-inset fixture fix NO neighbourhood could reach 5
+    # — the proportional shrink left zero direct-parent containment.)
+    depth = {}
+    for r in nb:
+        depth[r["nest_level"]] = depth.get(r["nest_level"], 0) + 1
+    assert depth == {4: 32, 5: 224}, depth
 
 
 def test_knn_matches_brute_force(world, points, spark):

@@ -161,6 +161,15 @@ def test_centroid_translation_invariance(pts, dx, dy):
     hull = _convex_hull(np.unique(np.array(pts, dtype=np.float64), axis=0))
     if hull.shape[0] < 4:
         return
+    # skip slivers whose width is below float resolution relative to the
+    # translation: adding dx=1.0 to coords like 1e-38 rounds the sliver
+    # away entirely, so g1 is a genuinely DIFFERENT (collapsed) polygon —
+    # no centroid implementation can be invariant across that
+    x, y = hull[:-1, 0], hull[:-1, 1]
+    area = 0.5 * abs(float((x * hull[1:, 1] - hull[1:, 0] * y).sum()))
+    scale0 = max(float(np.abs(hull).max()), abs(dx), abs(dy), 1.0)
+    if area < 1e-9 * scale0 * scale0:
+        return
     g0 = wkb.decode(wkb.encode_polygon([hull]))
     g1 = wkb.decode(wkb.encode_polygon([hull + [dx, dy]]))
     c0 = kernels.centroid(g0)

@@ -503,3 +503,39 @@ def test_ivf_small_corpus_survives_empty_stride_sample(spark):
     assert len(out) == 10
     assert (out["rank"] == 1).all()
     assert (out["query_id"] != out["neighbor_id"]).all()
+
+
+def test_extract_features_smaller_than_grid_no_nan(spark):
+    """Regression: an image smaller than the pooling grid produced empty
+    slices whose mean is NaN, silently poisoning downstream similarity."""
+    rows = [fixtures.make_image_row(i) for i in range(4)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"])
+    )
+    tiny = img_ops.resize(df, 2, 2)
+    feats = img_ops.extract_features(tiny, grid=4).toPandas()
+    assert len(feats) == 4
+    for v in feats["features"]:
+        arr = np.asarray(v, dtype=np.float64)
+        assert arr.shape == (48,)
+        assert np.isfinite(arr).all()
+
+
+def test_frame_audio_energy_skips_corrupt_rows(spark):
+    """Regression: one corrupt audio payload failed the whole batch; now
+    that row contributes zero frames and the rest survive."""
+    sr = 8000
+    pcm = codec.synth_audio(3, sr, seconds=0.2)
+    rows = [
+        ("good", codec.encode_audio(pcm, sr)),
+        ("bad", b"NOTAUDIO-corrupt-payload"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["audio_id", "bytes"]))
+    out = img_ops.frame_audio_energy(df, frame_ms=25).toPandas()
+    assert set(out["audio_id"]) == {"good"}
+    assert len(out) == (len(pcm) // (sr * 25 // 1000))
+
+
+def test_encode_video_empty_frames_raises():
+    with pytest.raises(ValueError, match="at least one frame"):
+        codec.encode_video([], fps=6)
