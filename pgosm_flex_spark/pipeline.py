@@ -49,12 +49,14 @@ def flagship_place_counts(
         .groupBy("osm_type", "admin_level")
         .agg(F.count(F.lit(1)).alias("n_images"))
         .orderBy("osm_type", "admin_level")
-        # eager: the cached cover must not outlive this call (repeated
-        # sweeps would otherwise pile one orphaned persist per call)
-        .localCheckpoint(eager=True)
     )
+    # materialize the (small) grouped result while the cover is cached,
+    # then release the cache — repeated sweeps must not pile one orphaned
+    # persist per call, and the returned frame must not lazily recompute
+    # the whole join after the unpersist
+    rows = out.collect()
     cover.unpersist(blocking=False)
-    return out
+    return spark.createDataFrame(rows, schema=out.schema)
 
 
 def flagship_tiles(images: DataFrame, zoom: int = 12) -> DataFrame:

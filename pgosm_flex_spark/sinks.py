@@ -313,31 +313,36 @@ def merge_into_partitioned(
     # materialize once: the updates plan is consumed FOUR times below
     # (touched collect, count, anti-join, union write) — for a streaming
     # foreachBatch caller that plan is the whole micro-batch pipeline and
-    # would re-execute each time
-    updates = updates.localCheckpoint(eager=True)
-    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
-    n_up = updates.count()
-    if not os.path.isdir(target_dir) or not touched:
-        updates.write.mode("append").partitionBy(partition_col).parquet(target_dir)
-        return {"touched_partitions": len(touched), "upserted_rows": n_up}
-
-    target = spark.read.parquet(target_dir)
-    old_touched = target.filter(F.col(partition_col).isin(touched))
-    survivors = old_touched.join(
-        updates.select(*key_cols).distinct(), key_cols, "left_anti"
-    )
-    merged = survivors.select(*updates.columns).unionByName(updates)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # would re-execute each time. persist (not localCheckpoint) so the pin
+    # is released on exit instead of orphaning one RDD per call.
+    updates = updates.persist()
     try:
-        # localCheckpoint breaks the read-from-target lineage so the dynamic
-        # overwrite does not read partitions it is deleting mid-write
-        merged.localCheckpoint(eager=True).write.mode("overwrite").partitionBy(
-            partition_col
-        ).parquet(target_dir)
+        touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+        n_up = updates.count()
+        if not os.path.isdir(target_dir) or not touched:
+            updates.write.mode("append").partitionBy(partition_col).parquet(target_dir)
+            return {"touched_partitions": len(touched), "upserted_rows": n_up}
+
+        target = spark.read.parquet(target_dir)
+        old_touched = target.filter(F.col(partition_col).isin(touched))
+        survivors = old_touched.join(
+            updates.select(*key_cols).distinct(), key_cols, "left_anti"
+        )
+        merged = survivors.select(*updates.columns).unionByName(updates)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            # localCheckpoint breaks the read-from-target lineage so the
+            # dynamic overwrite does not read partitions it is deleting
+            # mid-write
+            merged.localCheckpoint(eager=True).write.mode("overwrite").partitionBy(
+                partition_col
+            ).parquet(target_dir)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        return {"touched_partitions": len(touched), "upserted_rows": n_up}
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    return {"touched_partitions": len(touched), "upserted_rows": n_up}
+        updates.unpersist(blocking=False)
 
 
 def refresh_partitions(
