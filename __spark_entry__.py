@@ -932,7 +932,12 @@ def q_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         feed.coalesce(4).write.mode("overwrite").json(inp)
         q = run_first_seen_stream(spark, inp, ckpt, out)
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # a False return is a silent timeout, not an error: reading the
+            # half-written sink (and rmtree-ing dirs the live query still
+            # uses) would fail the harness with a bogus wrong-rows signal
+            q.stop()
+            raise TimeoutError("stream_first_seen availableNow drain exceeded 300s")
         return spark.read.parquet(out).orderBy("phash").localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)

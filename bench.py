@@ -46,12 +46,21 @@ from pgosm_flex_spark.images import ops as img_ops  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = None  # metadata only — a custom dir name must not abort the bench
     spark = get_spark("pgosm-flex-spark-bench", cores=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    li_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-    n_images = int(os.environ.get("SPARK_GRAFT_BENCH_N", li_rows))
+    bench_n = os.environ.get("SPARK_GRAFT_BENCH_N")
+    # the lineitem count is only the default image count — skip the scan
+    # entirely when the env override supplies one
+    n_images = (
+        int(bench_n)
+        if bench_n
+        else spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    )
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}

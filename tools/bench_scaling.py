@@ -39,8 +39,12 @@ def main() -> None:
     )
     n_low = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
     n_high = 4 * n_low
-    low = run_bench(n_low, sf_dir)
+    # high leg FIRST — the 4N-core leg is the contention-sensitive one and
+    # must get the freshest quiet window (knn_scaling.py methodology); run
+    # low second so the high leg never launches into the other leg's load
+    # decay, which systematically understates efficiency
     high = run_bench(n_high, sf_dir)
+    low = run_bench(n_low, sf_dir)
     t_low = low["queries"]["q_pip_join"]
     t_high = high["queries"]["q_pip_join"]
     efficiency = round((t_low / t_high) / 4.0, 3)

@@ -67,8 +67,12 @@ def main() -> None:
             t = rec[leg]["pip_secs_best"]
             if leg not in leg_best or t < leg_best[leg]:
                 leg_best[leg] = t
+        # weak mode runs the low leg at n/4 points (fixed per-executor
+        # work), so its efficiency is the plain time ratio — the strong
+        # /4.0 would log ~0.25x nonsense next to the real number
+        denom = 1.0 if os.environ.get("MODE", "strong") == "weak" else 4.0
         rec["cross_best_eff"] = round(
-            leg_best["executors_1"] / leg_best["executors_4"] / 4.0, 3
+            leg_best["executors_1"] / leg_best["executors_4"] / denom, 3
         )
         append(rec)
         if not LOW_LEG_MAX or rec["executors_1"]["pip_secs_best"] <= LOW_LEG_MAX:

@@ -43,7 +43,9 @@ if cache_dir and os.path.isdir(cache_dir):
     )
 else:
     pts = tagf.with_tags(fixtures.images_df(spark, n, with_pixels=False)).select("image_id", "lon", "lat").persist()
-pts.count()
+# report the ACTUAL materialized count, not the requested n (a smaller
+# cache would otherwise inflate throughput by the cache-size ratio)
+n_actual = pts.count()
 # persist the feature side too: the operator under test re-reads it for the
 # density map AND the bucket join each rep — regenerating the fixture every
 # time measures input prep, not the join
@@ -61,9 +63,10 @@ best = None
 for _ in range(reps):
     t0 = time.time(); run(); dt = time.time() - t0
     best = dt if best is None else min(best, dt)
-print(json.dumps({"cpus": cpus, "n_points": n, "n_feats": nf,
+print(json.dumps({"cpus": cpus, "n_points": n_actual, "n_requested": n,
+                  "n_feats": nf,
                   "knn_secs_best": round(best, 2),
-                  "throughput": round(n / best, 1)}))
+                  "throughput": round(n_actual / best, 1)}))
 """
 
 

@@ -48,7 +48,10 @@ if cache_dir and os.path.isdir(cache_dir):
     )
 else:
     pts = tagf.with_tags(fixtures.images_df(spark, n, with_pixels=False)).select("image_id", "lon", "lat").persist()
-pts.count()
+# report the ACTUAL materialized count, not the requested n: a cache
+# prepped smaller than n passes everything through the prefix filter, and
+# quoting n would inflate the throughput by the cache-size ratio
+n_actual = pts.count()
 osm = fixtures.osm_objects_df(spark)
 place = relation_member_dedup(build_layer_tables(osm)["place_polygon"]).filter(F.col("geom_wkb").isNotNull()).persist()
 place.count()
@@ -68,8 +71,9 @@ best = None
 for _ in range(reps):
     t0 = time.time(); run(); dt = time.time() - t0
     best = dt if best is None else min(best, dt)
-print(json.dumps({"cpus": cpus, "n_points": n, "pip_secs_best": round(best, 2),
-                  "throughput": round(n / best, 1)}))
+print(json.dumps({"cpus": cpus, "n_points": n_actual, "n_requested": n,
+                  "pip_secs_best": round(best, 2),
+                  "throughput": round(n_actual / best, 1)}))
 """
 
 

@@ -46,7 +46,10 @@ def append(rec: dict) -> None:
 
 
 def run_pair(tool: str, args: list[str], reps: int = 2) -> dict | None:
-    env = dict(os.environ, PYTHONPATH=REPO, REPS=str(reps))
+    # an operator-exported REPS wins over the campaign default — the old
+    # dict(..., REPS=str(reps)) silently clobbered it to 2
+    env = dict(os.environ, PYTHONPATH=REPO)
+    env.setdefault("REPS", str(reps))
     t0 = time.time()
     try:
         out = subprocess.run(

@@ -6,8 +6,14 @@
 set -euo pipefail
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 CPUS="${SPARK_GRAFT_CPUS:-32}"
-OUT="${1:-/tmp/pgosm_flex_spark_out}"
-shift || true
+# first arg is the output dir ONLY if it is not a flag — so
+# `tools/submit.sh --routed-export` passes the flag through instead of
+# writing a bundle to a directory literally named './--routed-export'
+OUT="/tmp/pgosm_flex_spark_out"
+if [[ $# -gt 0 && "${1:0:1}" != "-" ]]; then
+  OUT="$1"
+  shift
+fi
 
 ZIP=$(mktemp -d)/pgosm_flex_spark.zip
 (cd "$REPO" && zip -qr "$ZIP" pgosm_flex_spark)
