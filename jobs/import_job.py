@@ -34,6 +34,18 @@ def main() -> int:
     p.add_argument("--input", help="images parquet (image_id, bytes, w, h, fmt, caption, phash); omit to synthesize")
     p.add_argument("--n-images", type=int, default=10000, help="synthetic image count when --input absent")
     p.add_argument("--layerset", default="everything")
+    p.add_argument(
+        "--layerset-path", default=None,
+        help="directory holding <layerset>.ini (custom layerset, reference "
+        "--layerset-path / PGOSM_LAYERSET_PATH semantics); default: built-in "
+        "layerset names",
+    )
+    p.add_argument(
+        "--language", default=None,
+        help="best-name language preference (name:<lang> first — reference "
+        "PGOSM_LANGUAGE); default: PGOSM_LANGUAGE env var, else OSM wiki "
+        "priority only",
+    )
     p.add_argument("--region", default="synthetic-dc")
     p.add_argument("--out", required=True)
     p.add_argument("--date", default="1970-01-01")
@@ -64,6 +76,16 @@ def main() -> int:
         "instead of contending on this sandbox's one shared disk",
     )
     args = p.parse_args()
+
+    # distribute the layerset/language config the way the reference does —
+    # through its environment IR (docker/helpers.py:set_env_vars): every
+    # downstream surface (routed export, stream mode, layer registry)
+    # consults PGOSM_LAYERSET_PATH / PGOSM_LANGUAGE when not passed
+    # explicitly, so the CLI flags reach them all
+    if args.layerset_path:
+        os.environ["PGOSM_LAYERSET_PATH"] = args.layerset_path
+    if args.language is not None:
+        os.environ["PGOSM_LANGUAGE"] = args.language
 
     from pgosm_flex_spark import __version__, fixtures
     from pgosm_flex_spark.functions import tags as tagf
@@ -141,7 +163,10 @@ def main() -> int:
         t = time.time()
         # 3. layer mapping over one shared scan (feature side: fixture world)
         osm = fixtures.osm_objects_df(spark).cache()
-        tables = build_layer_tables(osm, layerset=args.layerset)
+        tables = build_layer_tables(
+            osm, layerset=args.layerset, layerset_path=args.layerset_path,
+            language=args.language,
+        )
         # 4. post-processing: relation dedup always precedes the join (it
         # defines the place_polygon table); the nested rebuild runs on fresh
         # imports (run_post_sql) AND at append finish (I3 —

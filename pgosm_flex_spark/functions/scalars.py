@@ -9,6 +9,9 @@ whole-stage codegen and its predicates remain pushdown-eligible.
 
 from __future__ import annotations
 
+import os
+from contextlib import contextmanager
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -16,6 +19,43 @@ from pyspark.sql import functions as F
 def t(tags: Column, key: str) -> Column:
     """tags[key] (NULL when absent) — `object.tags.<key>` in Lua."""
     return F.element_at(tags, key)
+
+
+# ---------------------------------------------------------------------------
+# name-language preference (PGOSM_LANGUAGE)
+# ---------------------------------------------------------------------------
+
+# Sentinel distinguishing "caller said nothing" (→ resolve the scoped/env
+# default) from an explicit language=None/"" (→ no preference).
+_LANG_UNSET = object()
+# Scoped override set by name_language(); _LANG_UNSET → fall through to env.
+_name_language: object = _LANG_UNSET
+
+
+@contextmanager
+def name_language(language: str | None):
+    """Scope the default language ``get_name`` prefers — the Spark analog of
+    the reference's global ``pgosm_language``
+    (/root/reference/flex-config/helpers.lua:28-34: set once from
+    PGOSM_LANGUAGE, consulted by every style's name column). ``None``/empty
+    means no preference. Column expressions capture the language at
+    construction time, so plans built inside the scope keep it after exit."""
+    global _name_language
+    prev = _name_language
+    _name_language = language or None
+    try:
+        yield
+    finally:
+        _name_language = prev
+
+
+def default_name_language() -> str | None:
+    """The language ``get_name`` uses when the caller passes none: the
+    innermost :func:`name_language` scope, else the PGOSM_LANGUAGE env var
+    (the reference's configuration channel), else no preference."""
+    if _name_language is not _LANG_UNSET:
+        return _name_language  # type: ignore[return-value]
+    return os.environ.get("PGOSM_LANGUAGE") or None
 
 
 # ---------------------------------------------------------------------------
@@ -113,10 +153,16 @@ def _first_name_colon_value(tags: Column) -> Column:
     return F.when(F.size(matches) > 0, F.element_at(matches, 1)["value"])
 
 
-def get_name(tags: Column, language: str | None = None) -> Column:
+def get_name(tags: Column, language: str | None | object = _LANG_UNSET) -> Column:
     """get_name (/root/reference/flex-config/helpers.lua:184-227):
     name:<lang> > name > short_name > alt_name > loc_name > old_name >
-    first name:* / *:NAME value > ''. Never NULL."""
+    first name:* / *:NAME value > ''. Never NULL.
+
+    ``language`` defaults to the scoped / PGOSM_LANGUAGE preference
+    (:func:`default_name_language`); pass ``None`` or ``""`` to force the
+    unlocalized chain regardless of scope."""
+    if language is _LANG_UNSET:
+        language = default_name_language()
     chain = []
     if language:
         chain.append(t(tags, f"name:{language}"))

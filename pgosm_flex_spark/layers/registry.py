@@ -26,6 +26,7 @@ reference's INI gate (/root/reference/flex-config/layerset.lua:26-28).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -848,25 +849,71 @@ TABLES: list[TableSpec] = [
 ]
 
 
-def layerset_layers(layerset: str) -> list[str]:
-    try:
-        return LAYERSETS[layerset]
-    except KeyError:
-        raise ValueError(f"unknown layerset {layerset!r}; options: {sorted(LAYERSETS)}")
+def layerset_layers(layerset: str, layerset_path: str | None = None) -> list[str]:
+    """Layer names a layerset enables.
+
+    Without ``layerset_path`` (and with PGOSM_LAYERSET_PATH unset) the four
+    built-in names resolve from :data:`LAYERSETS` — the same lists the
+    reference ships as ``flex-config/layerset/{minimal,basic,default,
+    everything}.ini``. With a path (argument wins over the env var, mirroring
+    ``--layerset-path`` over PGOSM_LAYERSET_PATH), ``<path>/<layerset>.ini``
+    is parsed with the reference's custom-layerset semantics
+    (/root/reference/flex-config/layerset.lua:17-28, run.lua:5-103,
+    docker/pgosm_flex.py:474-515): a ``[layerset]`` section where a layer is
+    enabled iff its value is ``true`` (case-insensitive; missing or ``false``
+    disables — the Lua nil / Python ``.lower() == 'true'`` gate), and keys
+    naming no known layer are ignored exactly as run.lua's fixed checklist
+    ignores them."""
+    if layerset_path is None:
+        layerset_path = os.environ.get("PGOSM_LAYERSET_PATH") or None
+    if layerset_path is None:
+        try:
+            return LAYERSETS[layerset]
+        except KeyError:
+            raise ValueError(
+                f"unknown layerset {layerset!r}; options: {sorted(LAYERSETS)} "
+                "(or pass layerset_path / set PGOSM_LAYERSET_PATH for a "
+                "custom INI)"
+            )
+    import configparser
+
+    ini_file = os.path.join(layerset_path, f"{layerset}.ini")
+    parser = configparser.ConfigParser()
+    if not parser.read(ini_file):
+        raise FileNotFoundError(f"layerset INI not found: {ini_file}")
+    if "layerset" not in parser:
+        raise ValueError(f"{ini_file}: missing [layerset] section")
+    return sorted(
+        layer
+        for layer, value in parser["layerset"].items()
+        if layer in LAYER_BUILDERS and value.lower() == "true"
+    )
 
 
-def build_layer_tables(osm: DataFrame, layerset: str = "everything") -> dict[str, DataFrame]:
+def build_layer_tables(
+    osm: DataFrame,
+    layerset: str = "everything",
+    layerset_path: str | None = None,
+    language: str | None = None,
+) -> dict[str, DataFrame]:
     """One shared scan → every enabled layer's output tables.
 
     Callers should ``osm.cache()`` (or persist to a staged table) before this
     at scale: each layer re-filters the same frame and Spark will otherwise
     re-read the source per table. Catalyst pushes each layer's tag predicate
     into its scan either way.
+
+    ``language`` sets the best-name preference every table's ``name`` column
+    applies (``name:<language>`` first — the reference's PGOSM_LANGUAGE,
+    helpers.lua:28-34,189-196); ``None`` defers to the scoped/env default
+    (:func:`pgosm_flex_spark.functions.scalars.default_name_language`),
+    ``""`` forces the unlocalized chain.
     """
     out: dict[str, DataFrame] = {}
-    for layer in layerset_layers(layerset):
-        for name, df in LAYER_BUILDERS[layer](osm).items():
-            out[name] = df
+    with sc.name_language(language if language is not None else sc.default_name_language()):
+        for layer in layerset_layers(layerset, layerset_path):
+            for name, df in LAYER_BUILDERS[layer](osm).items():
+                out[name] = df
     return out
 
 
@@ -880,7 +927,9 @@ def build_layer_tables(osm: DataFrame, layerset: str = "everything") -> dict[str
 # on a fixture covering every geometry variant.
 # ---------------------------------------------------------------------------
 
-def layer_table_predicates(layerset: str = "everything") -> dict[str, Column]:
+def layer_table_predicates(
+    layerset: str = "everything", layerset_path: str | None = None
+) -> dict[str, Column]:
     """table name → boolean membership Column (unbound; evaluate against any
     frame with the osm-objects schema). NULL predicates count as non-members,
     matching ``DataFrame.filter`` three-valued semantics."""
@@ -971,22 +1020,26 @@ def layer_table_predicates(layerset: str = "everything") -> dict[str, Column]:
             p[f"{base_layer}_point"] | p[f"{base_layer}_polygon"]
         )
 
-    wanted = _wanted_tables(layerset)
+    wanted = _wanted_tables(layerset, layerset_path)
     return {name: pred for name, pred in p.items() if name in wanted}
 
 
-def _wanted_tables(layerset: str) -> set[str]:
+def _wanted_tables(layerset: str, layerset_path: str | None = None) -> set[str]:
     """Table names a layerset resolves to — the ONE place layerset →
     table-set resolution lives (predicate and projection surfaces must
     filter identically or route_layer_rows silently diverges)."""
     return {
         name
-        for layer in layerset_layers(layerset)
+        for layer in layerset_layers(layerset, layerset_path)
         for name, _kind in _LAYER_TABLES[layer]
     }
 
 
-def layer_table_columns(layerset: str = "everything") -> dict[str, dict[str, Column]]:
+def layer_table_columns(
+    layerset: str = "everything",
+    layerset_path: str | None = None,
+    language: str | None = None,
+) -> dict[str, dict[str, Column]]:
     """table name → its FULL output projection as named Column exprs, in the
     builders' column order (base cols, member_ids for polygon tables, then
     the layer's derived columns) — the second half of the spec surface that
@@ -994,7 +1047,17 @@ def layer_table_columns(layerset: str = "everything") -> dict[str, dict[str, Col
     any table as ``osm.filter(pred).select(cols)`` or fuse ALL tables into
     one routed pass (layers/router.py:route_layer_rows). Reuses the same
     ``_*_cols`` helpers the builders call, so the exprs cannot drift; output
-    equality with the builders is pinned by tests/test_router.py."""
+    equality with the builders is pinned by tests/test_router.py.
+
+    ``language`` as in :func:`build_layer_tables` — the name exprs capture
+    it at construction time."""
+    with sc.name_language(language if language is not None else sc.default_name_language()):
+        return _layer_table_columns(layerset, layerset_path)
+
+
+def _layer_table_columns(
+    layerset: str, layerset_path: str | None
+) -> dict[str, dict[str, Column]]:
     t = F.col("tags")
 
     def full(extra: dict[str, Column], with_members: bool = False) -> dict[str, Column]:
@@ -1107,5 +1170,5 @@ def layer_table_columns(layerset: str = "everything") -> dict[str, dict[str, Col
         ).otherwise(F.lit(None).cast("array<bigint>"))
         cols[f"{base_layer}_combined_point"] = c
 
-    wanted = _wanted_tables(layerset)
+    wanted = _wanted_tables(layerset, layerset_path)
     return {name: c for name, c in cols.items() if name in wanted}

@@ -28,6 +28,7 @@ def route_layer_ids(
     layerset: str = "everything",
     id_col: str = "osm_id",
     extra_cols: list[str] | None = None,
+    layerset_path: str | None = None,
 ) -> DataFrame:
     """(id_col, [extra_cols...,] table) — one output row per (object, table
     it belongs to), from ONE scan of ``osm``.
@@ -36,14 +37,17 @@ def route_layer_ids(
     (e.g. ``geom_type`` for per-type rollups). Rows matching no table are
     dropped (explode of an empty array).
     """
-    preds = layer_table_predicates(layerset)
+    preds = layer_table_predicates(layerset, layerset_path)
     routes = F.array(*[F.when(preds[n], F.lit(n)) for n in sorted(preds)])
     carry = [F.col(id_col)] + [F.col(c) for c in (extra_cols or [])]
     return osm.select(*carry, F.explode(F.array_compact(routes)).alias("table"))
 
 
 def layer_membership(
-    osm: DataFrame, layerset: str = "everything", exclude: tuple[str, ...] = ()
+    osm: DataFrame,
+    layerset: str = "everything",
+    exclude: tuple[str, ...] = (),
+    layerset_path: str | None = None,
 ):
     """Boolean Column: row belongs to at least one table of the layerset
     (three-valued NULL counts as non-member, like DataFrame.filter). The
@@ -51,7 +55,7 @@ def layer_membership(
     layer = ``osm.filter(~layer_membership(osm))`` — no union, no distinct,
     no join. ``exclude`` drops tables from the check (the QC coverage rule
     ignores the tags/unitable escape hatches)."""
-    preds = layer_table_predicates(layerset)
+    preds = layer_table_predicates(layerset, layerset_path)
     out = F.lit(False)
     for name, pred in preds.items():
         if name in exclude:
@@ -60,7 +64,12 @@ def layer_membership(
     return out
 
 
-def route_layer_rows(osm: DataFrame, layerset: str = "everything") -> DataFrame:
+def route_layer_rows(
+    osm: DataFrame,
+    layerset: str = "everything",
+    layerset_path: str | None = None,
+    language: str | None = None,
+) -> DataFrame:
     """ONE scan of ``osm`` → every table's FULL output rows, stacked on a
     superset schema with a ``layer_table`` discriminator — the fused form of
     the whole dispatch stage: where ``build_layer_tables`` + per-table writes
@@ -77,10 +86,10 @@ def route_layer_rows(osm: DataFrame, layerset: str = "everything") -> DataFrame:
     so the projection stays compact. Row-level equality with every builder
     table is pinned by tests/test_router.py.
     """
-    preds = layer_table_predicates(layerset)
+    preds = layer_table_predicates(layerset, layerset_path)
     from pgosm_flex_spark.layers.registry import layer_table_columns
 
-    cols = layer_table_columns(layerset)
+    cols = layer_table_columns(layerset, layerset_path, language)
     names = sorted(preds)
     routes = F.array(*[F.when(preds[n], F.lit(n)) for n in names])
     # array_compact lowers to a higher-order filter() which keeps this
@@ -112,13 +121,20 @@ def route_layer_rows(osm: DataFrame, layerset: str = "everything") -> DataFrame:
     return routed.select(*out_cols)
 
 
-def read_layer_table(spark, routed_dir: str, name: str, layerset: str = "everything"):
+def read_layer_table(
+    spark,
+    routed_dir: str,
+    name: str,
+    layerset: str = "everything",
+    layerset_path: str | None = None,
+    language: str | None = None,
+):
     """Reconstruct one table from a routed-parquet bundle: partition-pruned
     scan + the table's exact builder column set (schema parity with
     build_layer_tables output)."""
     from pgosm_flex_spark.layers.registry import layer_table_columns
 
-    cols = layer_table_columns(layerset)[name]
+    cols = layer_table_columns(layerset, layerset_path, language)[name]
     return (
         spark.read.parquet(routed_dir)
         .filter(F.col("layer_table") == name)
