@@ -891,6 +891,33 @@ def q_pgosm_road_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pgosm_road(spark).orderBy("osm_type")
 
 
+def q_qgis_style_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QGIS layer_styles load semantics (S-surface;
+    /root/reference/docker/qgis_styles.py:13-29 +
+    db/qgis-style/_load_layer_styles.sql): merging the shipped styles into a
+    table holding one user-customized row must keep the custom row untouched
+    and append only absent (catalog, schema, table, stylename) keys with
+    SERIAL ids continuing after the existing max."""
+    from pgosm_flex_spark.styles import (
+        LAYER_STYLES_SCHEMA,
+        merge_styles,
+        placeholder_styles_df,
+    )
+
+    existing = spark.createDataFrame(
+        [(7, "pgosm", "osm", "road_line", "geom", "osm_road_line",
+          "<qgis>CUSTOM</qgis>", None, True, "user tweak", "me", None, None,
+          "Normal")],
+        schema=LAYER_STYLES_SCHEMA,
+    )
+    merged = merge_styles(existing, placeholder_styles_df(spark))
+    return merged.select(
+        "id", "f_table_catalog", "f_table_schema", "f_table_name",
+        "f_geometry_column", "stylename", "useasdefault", "description",
+        "type",
+    ).orderBy("id")
+
+
 def q_qc_features_not_in_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QC coverage anti-join (J3,
     /root/reference/db/qc/features_not_in_run_all.sql): tags rows that landed
@@ -1227,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_time_rollup": q_route_time_rollup,
         "route_path_rollup": q_route_path_rollup,
         "pgosm_road_rows": q_pgosm_road_rows,
+        "qgis_style_rows": q_qgis_style_rows,
         "qc_features_not_in_layers": q_qc_features_not_in_layers,
         "qc_tag_suggestions": q_qc_tag_suggestions,
         "stream_first_seen": q_stream_first_seen,
@@ -1850,6 +1878,26 @@ def _oracle_routing() -> dict[str, str]:
         "route_time_rollup": route_rollup,
         "route_path_rollup": route_path_rollup,
         "pgosm_road_rows": road_rows,
+        "qgis_style_rows": """
+            WITH s(id, f_table_catalog, f_table_schema, f_table_name,
+                   f_geometry_column, stylename, useasdefault, description,
+                   type) AS (VALUES
+                (7, 'pgosm', 'osm', 'road_line', 'geom', 'osm_road_line',
+                 true, 'user tweak', 'Normal'),
+                (8, 'pgosm', 'osm', 'building_polygon', 'geom',
+                 'osm_building_polygon', true,
+                 'placeholder osm_building_polygon', 'Normal'),
+                (9, 'pgosm', 'osm', 'landuse_polygon', 'geom',
+                 'osm_landuse_polygon', true,
+                 'placeholder osm_landuse_polygon', 'Normal'),
+                (10, 'pgosm', 'osm', 'vplace_polygon', 'geom',
+                 'place_polygon', true, 'placeholder place_polygon', 'Normal')
+            )
+            SELECT CAST(id AS INTEGER) AS id, f_table_catalog,
+                   f_table_schema, f_table_name, f_geometry_column,
+                   stylename, useasdefault, description, type
+            FROM s ORDER BY id
+        """,
         "qc_features_not_in_layers": qc,
     }
 

@@ -58,6 +58,17 @@ def main() -> int:
     p.add_argument("--unit-res", type=int, default=4, help="checkpoint unit cell resolution")
     p.add_argument("--force", action="store_true")
     p.add_argument("--skip-nested", action="store_true")
+    p.add_argument(
+        "--skip-qgis-style", action="store_true",
+        help="skip loading the QGIS layer_styles table (reference "
+        "--skip-qgis-style)",
+    )
+    p.add_argument(
+        "--qgis-styles-dump", default=None,
+        help="pg_dump file holding layer_styles_staging COPY rows (e.g. the "
+        "reference's db/qgis-style/layer_styles.sql); default: built-in "
+        "placeholder styles",
+    )
     p.add_argument("--cpus", type=int, default=None)
     p.add_argument(
         "--routed-export",
@@ -333,6 +344,20 @@ def main() -> int:
 
     manifest = fut_export.result()
     pool.shutdown(wait=True)
+
+    # 6. QGIS layer styles (reference: prepare_pgosm_db → load_qgis_styles
+    # on every run unless --skip-qgis-style; anti-join merge never
+    # overwrites user-customized styles, so re-running is idempotent)
+    if not args.skip_qgis_style and not args.dry_run:
+        from pgosm_flex_spark.styles import load_qgis_styles, staging_from_pg_dump
+
+        staging = (
+            staging_from_pg_dump(spark, args.qgis_styles_dump)
+            if args.qgis_styles_dump
+            else None
+        )
+        styles = load_qgis_styles(spark, args.out, staging=staging)
+        manifest["qgis_styles"] = styles.count()
     manifest["pip_units"] = {
         "total": len(pair_metrics),
         "skipped_resume": sum(1 for m in pair_metrics.values() if m.get("skipped")),
