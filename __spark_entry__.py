@@ -891,6 +891,29 @@ def q_pgosm_road_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pgosm_road(spark).orderBy("osm_type")
 
 
+def q_srid_3857_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRID reprojection (§2.7 constructors' reprojection; reference
+    ``--srid``, helpers.lua:5-12): forward 4326→3857 at mm resolution plus
+    the inverse round-trip at µdeg, against DuckDB's ln∘tan formulation of
+    the same spherical-mercator map."""
+    from pgosm_flex_spark.geometry import srid as S
+
+    ev = td.load(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("event_id")
+    )
+    lon = (F.col("event_id") % 360).cast("double") - F.lit(179.5)
+    lat = (F.col("event_id") % 120).cast("double") - F.lit(59.5)
+    x = S.mercator_x_col(lon)
+    y = S.mercator_y_col(lat)
+    return ev.select(
+        "event_id",
+        F.round(x * 1000).cast("long").alias("x_mm"),
+        F.round(y * 1000).cast("long").alias("y_mm"),
+        F.round(S.inv_mercator_lon_col(x) * 1000000).cast("long").alias("lon_back_udeg"),
+        F.round(S.inv_mercator_lat_col(y) * 1000000).cast("long").alias("lat_back_udeg"),
+    ).orderBy("event_id")
+
+
 def q_qgis_style_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QGIS layer_styles load semantics (S-surface;
     /root/reference/docker/qgis_styles.py:13-29 +
@@ -1255,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_path_rollup": q_route_path_rollup,
         "pgosm_road_rows": q_pgosm_road_rows,
         "qgis_style_rows": q_qgis_style_rows,
+        "srid_3857_points": q_srid_3857_points,
         "qc_features_not_in_layers": q_qc_features_not_in_layers,
         "qc_tag_suggestions": q_qc_tag_suggestions,
         "stream_first_seen": q_stream_first_seen,
@@ -1878,6 +1902,20 @@ def _oracle_routing() -> dict[str, str]:
         "route_time_rollup": route_rollup,
         "route_path_rollup": route_path_rollup,
         "pgosm_road_rows": road_rows,
+        "srid_3857_points": """
+            WITH e AS (
+                SELECT CAST(event_id AS BIGINT) AS event_id,
+                       CAST(event_id % 360 AS DOUBLE) - 179.5 AS lon,
+                       CAST(event_id % 120 AS DOUBLE) - 59.5 AS lat
+                FROM events
+            )
+            SELECT event_id,
+                   CAST(ROUND(6378137.0 * radians(lon) * 1000) AS BIGINT) AS x_mm,
+                   CAST(ROUND(6378137.0 * ln(tan(pi()/4 + radians(lat)/2)) * 1000) AS BIGINT) AS y_mm,
+                   CAST(ROUND(lon * 1000000) AS BIGINT) AS lon_back_udeg,
+                   CAST(ROUND(lat * 1000000) AS BIGINT) AS lat_back_udeg
+            FROM e ORDER BY event_id
+        """,
         "qgis_style_rows": """
             WITH s(id, f_table_catalog, f_table_schema, f_table_name,
                    f_geometry_column, stylename, useasdefault, description,

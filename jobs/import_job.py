@@ -56,6 +56,11 @@ def main() -> int:
         "coarse cells these rows touch are recomputed (I2/I3 semantics)",
     )
     p.add_argument("--unit-res", type=int, default=4, help="checkpoint unit cell resolution")
+    p.add_argument(
+        "--srid", type=int, default=4326,
+        help="output SRID for exported geometry (reference --srid; 4326 "
+        "native or 3857 web-mercator meters)",
+    )
     p.add_argument("--force", action="store_true")
     p.add_argument("--skip-nested", action="store_true")
     p.add_argument(
@@ -293,6 +298,7 @@ def main() -> int:
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", "export")
         t = time.time()
         if args.routed_export:
+            from pgosm_flex_spark.geometry.srid import project_tables
             from pgosm_flex_spark.sinks import export_bundle_routed
 
             overrides = {
@@ -303,7 +309,10 @@ def main() -> int:
             m = export_bundle_routed(
                 spark, osm, args.out, region=args.region,
                 layerset=args.layerset, pgosm_date=args.date,
-                overrides=overrides, dry_run=args.dry_run,
+                # override frames are the caller's — project them here; the
+                # routed stream projects inside the sink
+                overrides=project_tables(overrides, args.srid),
+                dry_run=args.dry_run, srid=args.srid,
                 # the job writes the completion marker itself AFTER the
                 # containment join finishes — an early manifest here would
                 # mark a run whose join later crashed as completed
@@ -314,6 +323,7 @@ def main() -> int:
                 spark, tables, args.out, region=args.region,
                 layerset=args.layerset, pgosm_date=args.date,
                 dry_run=args.dry_run, write_manifest=False,
+                srid=args.srid,
             )
         sections["export_bundle"] = round(time.time() - t, 1)
         return m

@@ -87,8 +87,13 @@ def export_bundle(
     pgosm_date: str,
     dry_run: bool = False,
     write_manifest: bool = True,
+    srid: int = 4326,
 ) -> dict:
     """Write every layer table + manifest. Returns the manifest dict.
+
+    ``srid``: 4326 (native) or 3857 — the reference's ``--srid`` surface;
+    3857 adds x/y meter coordinates and reprojects geom_wkb per table
+    (geometry/srid.py) before writing.
 
     ``write_manifest=False`` skips the ``manifest.json`` write (the dict is
     still returned): manifest.json doubles as the COMPLETION MARKER that
@@ -107,6 +112,10 @@ def export_bundle(
     scaling with the fleet rather than contending on one local disk.
     """
     os.makedirs(out_dir, exist_ok=True)
+    if srid != 4326:
+        from pgosm_flex_spark.geometry.srid import project_tables
+
+        tables = project_tables(tables, srid)
     # concurrent table writes (same pattern as the checkpointed join's unit
     # dispatch, plans/checkpoint.py): each table's write is its own Spark
     # job whose fixed overhead and straggler tail would otherwise serialize
@@ -133,7 +142,12 @@ def export_bundle(
         "layerset": layerset,
         "pgosm_date": pgosm_date,
         "engine_version": __version__,
-        "srid_convention": "EPSG:4326 coordinates; web-mercator cell/tile grid",
+        "srid_convention": (
+            "EPSG:4326 coordinates; web-mercator cell/tile grid"
+            if srid == 4326
+            else f"EPSG:{srid} x/y + geom_wkb; EPSG:4326 lon/lat retained; "
+            "web-mercator cell/tile grid"
+        ),
         "tables": counts,
     }
     if dry_run:
@@ -161,8 +175,14 @@ def export_bundle_routed(
     files_per_partition: int | None = 4,
     dry_run: bool = False,
     write_manifest: bool = True,
+    srid: int = 4326,
 ) -> dict:
     """Single-pass export: ONE scan of ``osm`` writes every layer table.
+
+    ``srid`` as in :func:`export_bundle`: 3857 projects the routed superset
+    (one codegen x/y + one kernel pass over the single stream — the routed
+    path pays the reprojection once, not per table). Override tables are
+    the caller's frames and must be pre-projected (jobs/import_job.py does).
 
     Where :func:`export_bundle` runs one write job per table (45 jobs whose
     source scans the cached ``osm`` 45×), this routes every row through
@@ -201,6 +221,10 @@ def export_bundle_routed(
     expected = list(layer_table_columns(layerset))
 
     routed = route_layer_rows(osm, layerset=layerset)
+    if srid != 4326:
+        from pgosm_flex_spark.geometry.srid import with_projected
+
+        routed = with_projected(routed, srid)
     if overrides:
         keep = [n for n in expected if n not in overrides]
         routed = routed.filter(F.col("layer_table").isin(keep))
@@ -255,7 +279,12 @@ def export_bundle_routed(
         "layerset": layerset,
         "pgosm_date": pgosm_date,
         "engine_version": __version__,
-        "srid_convention": "EPSG:4326 coordinates; web-mercator cell/tile grid",
+        "srid_convention": (
+            "EPSG:4326 coordinates; web-mercator cell/tile grid"
+            if srid == 4326
+            else f"EPSG:{srid} x/y + geom_wkb; EPSG:4326 lon/lat retained; "
+            "web-mercator cell/tile grid"
+        ),
         "routed": True,
         "tables": counts,
     }
