@@ -128,15 +128,20 @@ def read_layer_table(
     layerset: str = "everything",
     layerset_path: str | None = None,
     language: str | None = None,
+    srid: int = 4326,
 ):
     """Reconstruct one table from a routed-parquet bundle: partition-pruned
     scan + the table's exact builder column set (schema parity with
-    build_layer_tables output)."""
+    build_layer_tables output). For a bundle exported with ``srid=3857``
+    pass the same srid so the projected ``x``/``y`` meter columns survive
+    the projection back to the builder schema."""
     from pgosm_flex_spark.layers.registry import layer_table_columns
 
-    cols = layer_table_columns(layerset, layerset_path, language)[name]
+    cols = list(layer_table_columns(layerset, layerset_path, language)[name])
+    if srid != 4326:
+        cols += ["x", "y"]
     return (
         spark.read.parquet(routed_dir)
         .filter(F.col("layer_table") == name)
-        .select(*cols.keys())
+        .select(*cols)
     )

@@ -122,3 +122,29 @@ def test_project_tables_round_trip_values(spark):
     m = src.merge(got, on="osm_id", suffixes=("", "_b"))
     np.testing.assert_allclose(m["lon"], m["lon_b"], atol=1e-9)
     np.testing.assert_allclose(m["lat"], m["lat_b"], atol=1e-9)
+
+
+def test_routed_bundle_3857_read_back(spark, tmp_path):
+    import os
+
+    from pgosm_flex_spark import fixtures
+    from pgosm_flex_spark.layers.router import read_layer_table
+    from pgosm_flex_spark.sinks import export_bundle_routed
+
+    osm = fixtures.osm_objects_df(spark)
+    out = str(tmp_path / "bundle")
+    export_bundle_routed(
+        spark, osm, out, region="r", layerset="minimal", pgosm_date="d",
+        srid=3857, files_per_partition=None,
+    )
+    df = read_layer_table(
+        spark, os.path.join(out, "routed"), "place_point",
+        layerset="minimal", srid=3857,
+    )
+    row = df.filter(F.col("lon").isNotNull()).first()
+    assert row["x"] == pytest.approx(S.R_3857 * np.radians(row["lon"]), rel=1e-12)
+    # without srid the reader returns the exact builder schema (no x/y)
+    plain = read_layer_table(
+        spark, os.path.join(out, "routed"), "place_point", layerset="minimal"
+    )
+    assert "x" not in plain.columns
