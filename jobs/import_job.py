@@ -377,6 +377,13 @@ def main() -> int:
     manifest["wall_seconds"] = round(time.time() - t0, 1)
     manifest["sections"] = sections
     manifest["n_points"] = n_pts
+    # metadata-row parity with osm.pgosm_flex (db/deploy/osm_pgosm_flex.sql:
+    # region/layerset/srid/version/language/import_mode/input_file — the
+    # reference writes one row per import; the manifest is that row here)
+    manifest["srid"] = args.srid
+    manifest["language"] = args.language or os.environ.get("PGOSM_LANGUAGE") or ""
+    manifest["input_file"] = args.input
+    manifest["import_mode"] = args.mode
     # library-mode hygiene: nothing stays pinned in executor memory at exit
     osm.unpersist(blocking=False)
     pts.unpersist(blocking=False)

@@ -127,8 +127,15 @@ def load_qgis_styles(
     except Exception:
         existing = spark.createDataFrame([], schema=LAYER_STYLES_SCHEMA)
 
-    # eager checkpoint: the merged plan reads the same parquet dir the
-    # overwrite below replaces — materialize before touching the files
-    merged = merge_styles(existing, staging).localCheckpoint(eager=True)
-    merged.write.mode("overwrite").parquet(out)
-    return merged
+    # the merged plan reads the same parquet dir the overwrite below
+    # replaces — persist + count materializes every block before the files
+    # are touched, and the pin is released on exit instead of orphaning a
+    # checkpoint RDD per call (the sinks.merge_into_partitioned pattern;
+    # eviction-recompute risk is nil for a metadata-scale styles table)
+    merged = merge_styles(existing, staging).persist()
+    try:
+        merged.count()
+        merged.write.mode("overwrite").parquet(out)
+        return spark.read.parquet(out)
+    finally:
+        merged.unpersist(blocking=False)
