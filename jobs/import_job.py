@@ -93,16 +93,6 @@ def main() -> int:
     )
     args = p.parse_args()
 
-    # distribute the layerset/language config the way the reference does —
-    # through its environment IR (docker/helpers.py:set_env_vars): every
-    # downstream surface (routed export, stream mode, layer registry)
-    # consults PGOSM_LAYERSET_PATH / PGOSM_LANGUAGE when not passed
-    # explicitly, so the CLI flags reach them all
-    if args.layerset_path:
-        os.environ["PGOSM_LAYERSET_PATH"] = args.layerset_path
-    if args.language is not None:
-        os.environ["PGOSM_LANGUAGE"] = args.language
-
     from pgosm_flex_spark import __version__, fixtures
     from pgosm_flex_spark.functions import tags as tagf
     from pgosm_flex_spark.layers import build_layer_tables
@@ -110,8 +100,19 @@ def main() -> int:
     from pgosm_flex_spark.operators.nested import build_nested_admin_polygons
     from pgosm_flex_spark.plans import ImportMode
     from pgosm_flex_spark.plans.checkpoint import checkpointed_pip_join
+    from pgosm_flex_spark.functions.scalars import resolve_language
+    from pgosm_flex_spark.geometry.srid import _check_srid
     from pgosm_flex_spark.session import get_spark
     from pgosm_flex_spark.sinks import export_bundle
+
+    # fail fast: an unsupported SRID must die in milliseconds, not after
+    # the containment join has run for hours inside the export thread
+    _check_srid(args.srid)
+    # resolve the reference's env channel ONCE at the job boundary and pass
+    # it explicitly everywhere — the library itself is deliberately not
+    # environment-sensitive (oracle determinism), and mutating os.environ
+    # here would leak config into later in-process invocations
+    language = resolve_language(args.language)
 
     spark = get_spark("pgosm-flex-spark-import", cores=args.cpus)
     t0 = time.time()
@@ -123,6 +124,12 @@ def main() -> int:
         if not args.input:
             print("--mode stream requires --input (a stream directory)", file=sys.stderr)
             return 2
+        if args.srid != 4326:
+            # the streaming MERGE table carries lon/lat points only; a
+            # silent 4326 output under --srid 3857 would contradict the
+            # srid module's raise-not-pass-through policy
+            print("--mode stream supports --srid 4326 only", file=sys.stderr)
+            return 2
         from pgosm_flex_spark.streaming.import_stream import run_stream_import
 
         target = run_stream_import(
@@ -132,12 +139,28 @@ def main() -> int:
             args.out,
             layerset=args.layerset,
             unit_res=args.unit_res,
+            layerset_path=args.layerset_path,
+            language=language,
         )
         n = spark.read.parquet(target).count()
-        print(json.dumps({
+        out_row = {
             "status": "Completed", "mode": "stream", "rows": n,
-            "wall_seconds": round(time.time() - t0, 1),
-        }))
+        }
+        # the reference loads QGIS styles on every run (prepare_pgosm_db);
+        # stream runs get the same treatment unless skipped
+        if not args.skip_qgis_style:
+            from pgosm_flex_spark.styles import load_qgis_styles, staging_from_pg_dump
+
+            staging = (
+                staging_from_pg_dump(spark, args.qgis_styles_dump)
+                if args.qgis_styles_dump
+                else None
+            )
+            out_row["qgis_styles"] = load_qgis_styles(
+                spark, args.out, staging=staging
+            ).count()
+        out_row["wall_seconds"] = round(time.time() - t0, 1)
+        print(json.dumps(out_row))
         return 0
 
     mode = ImportMode(update=args.mode if args.mode == "append" else None, force=args.force)
@@ -181,7 +204,7 @@ def main() -> int:
         osm = fixtures.osm_objects_df(spark).cache()
         tables = build_layer_tables(
             osm, layerset=args.layerset, layerset_path=args.layerset_path,
-            language=args.language,
+            language=language,
         )
         # 4. post-processing: relation dedup always precedes the join (it
         # defines the place_polygon table); the nested rebuild runs on fresh
@@ -313,6 +336,7 @@ def main() -> int:
                 # routed stream projects inside the sink
                 overrides=project_tables(overrides, args.srid),
                 dry_run=args.dry_run, srid=args.srid,
+                layerset_path=args.layerset_path, language=language,
                 # the job writes the completion marker itself AFTER the
                 # containment join finishes — an early manifest here would
                 # mark a run whose join later crashed as completed
@@ -381,7 +405,7 @@ def main() -> int:
     # region/layerset/srid/version/language/import_mode/input_file — the
     # reference writes one row per import; the manifest is that row here)
     manifest["srid"] = args.srid
-    manifest["language"] = args.language or os.environ.get("PGOSM_LANGUAGE") or ""
+    manifest["language"] = language or ""
     manifest["input_file"] = args.input
     manifest["import_mode"] = args.mode
     # library-mode hygiene: nothing stays pinned in executor memory at exit

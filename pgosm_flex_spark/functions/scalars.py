@@ -10,6 +10,7 @@ whole-stage codegen and its predicates remain pushdown-eligible.
 from __future__ import annotations
 
 import os
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import Column
@@ -25,36 +26,49 @@ def t(tags: Column, key: str) -> Column:
 # name-language preference (PGOSM_LANGUAGE)
 # ---------------------------------------------------------------------------
 
-# Sentinel distinguishing "caller said nothing" (→ resolve the scoped/env
+# Sentinel distinguishing "caller said nothing" (→ resolve the scoped
 # default) from an explicit language=None/"" (→ no preference).
 _LANG_UNSET = object()
-# Scoped override set by name_language(); _LANG_UNSET → fall through to env.
-_name_language: object = _LANG_UNSET
+# Scoped override set by name_language() — THREAD-LOCAL: plan construction
+# happens on driver threads (the import job builds its fixed world on a
+# pool thread) and a process-global would cross-contaminate concurrent
+# builds with different languages.
+_lang_scope = threading.local()
 
 
 @contextmanager
 def name_language(language: str | None):
     """Scope the default language ``get_name`` prefers — the Spark analog of
     the reference's global ``pgosm_language``
-    (/root/reference/flex-config/helpers.lua:28-34: set once from
-    PGOSM_LANGUAGE, consulted by every style's name column). ``None``/empty
-    means no preference. Column expressions capture the language at
-    construction time, so plans built inside the scope keep it after exit."""
-    global _name_language
-    prev = _name_language
-    _name_language = language or None
+    (/root/reference/flex-config/helpers.lua:28-34: set once, consulted by
+    every style's name column). ``None``/empty means no preference. Column
+    expressions capture the language at construction time, so plans built
+    inside the scope keep it after exit. The scope is per-thread."""
+    prev = getattr(_lang_scope, "value", None)
+    _lang_scope.value = language or None
     try:
         yield
     finally:
-        _name_language = prev
+        _lang_scope.value = prev
 
 
 def default_name_language() -> str | None:
     """The language ``get_name`` uses when the caller passes none: the
-    innermost :func:`name_language` scope, else the PGOSM_LANGUAGE env var
-    (the reference's configuration channel), else no preference."""
-    if _name_language is not _LANG_UNSET:
-        return _name_language  # type: ignore[return-value]
+    current thread's innermost :func:`name_language` scope, else no
+    preference. Deliberately NOT environment-sensitive — library results
+    must not change under an ambient env var (oracle parity); the import
+    job resolves PGOSM_LANGUAGE (the reference's channel,
+    helpers.lua:28-34) into an explicit argument at its own boundary
+    (:func:`resolve_language`)."""
+    return getattr(_lang_scope, "value", None)
+
+
+def resolve_language(cli_value: str | None) -> str | None:
+    """The JOB-boundary resolution the reference applies: an explicit
+    ``--language`` wins, else PGOSM_LANGUAGE, else no preference. Library
+    code never calls this — determinism stops at the job surface."""
+    if cli_value is not None:
+        return cli_value or None
     return os.environ.get("PGOSM_LANGUAGE") or None
 
 

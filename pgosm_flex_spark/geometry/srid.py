@@ -20,8 +20,6 @@ other code raises instead of silently passing coordinates through.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame

@@ -905,9 +905,11 @@ def build_layer_tables(
 
     ``language`` sets the best-name preference every table's ``name`` column
     applies (``name:<language>`` first — the reference's PGOSM_LANGUAGE,
-    helpers.lua:28-34,189-196); ``None`` defers to the scoped/env default
-    (:func:`pgosm_flex_spark.functions.scalars.default_name_language`),
-    ``""`` forces the unlocalized chain.
+    helpers.lua:28-34,189-196); ``None`` defers to the thread's
+    :func:`pgosm_flex_spark.functions.scalars.name_language` scope (no
+    preference when none is active — library results never depend on
+    ambient env vars; jobs resolve PGOSM_LANGUAGE via
+    ``scalars.resolve_language``), ``""`` forces the unlocalized chain.
     """
     out: dict[str, DataFrame] = {}
     with sc.name_language(language if language is not None else sc.default_name_language()):

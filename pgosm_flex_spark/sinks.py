@@ -176,6 +176,8 @@ def export_bundle_routed(
     dry_run: bool = False,
     write_manifest: bool = True,
     srid: int = 4326,
+    layerset_path: str | None = None,
+    language: str | None = None,
 ) -> dict:
     """Single-pass export: ONE scan of ``osm`` writes every layer table.
 
@@ -218,9 +220,11 @@ def export_bundle_routed(
 
     os.makedirs(out_dir, exist_ok=True)
     overrides = overrides or {}
-    expected = list(layer_table_columns(layerset))
+    expected = list(layer_table_columns(layerset, layerset_path, language))
 
-    routed = route_layer_rows(osm, layerset=layerset)
+    routed = route_layer_rows(
+        osm, layerset=layerset, layerset_path=layerset_path, language=language
+    )
     if srid != 4326:
         from pgosm_flex_spark.geometry.srid import with_projected
 

@@ -93,7 +93,9 @@ def iter_copy_blocks(path: str) -> Iterator[tuple[str, list[str], Iterator[list[
 
             def rows(n_cols: int = len(cols)) -> Iterator[list[str | None]]:
                 for data_line in lines:
-                    data_line = data_line.rstrip("\n")
+                    # tolerate CRLF-translated dumps (git autocrlf/Windows):
+                    # a literal \r inside a field would arrive escaped as \\r
+                    data_line = data_line.rstrip("\n").rstrip("\r")
                     if data_line == "\\.":
                         return
                     fields = data_line.split("\t")

@@ -41,7 +41,11 @@ IMAGE_STREAM_SCHEMA = (
 
 
 def map_batch_to_layers(
-    batch_df: DataFrame, layerset: str = "minimal", unit_res: int = 4
+    batch_df: DataFrame,
+    layerset: str = "minimal",
+    unit_res: int = 4,
+    layerset_path: str | None = None,
+    language: str | None = None,
 ) -> DataFrame:
     """One micro-batch of image rows → upsert rows for the MERGE sink:
     (image_id, caption, phash, lon, lat, layers, cell_p). ``layers`` is the
@@ -62,7 +66,10 @@ def map_batch_to_layers(
         F.lit(None).cast("binary").alias("geom_wkb"),
         F.lit(None).cast("array<long>").alias("member_ids"),
     )
-    tables = build_layer_tables(osm_like, layerset=layerset)
+    tables = build_layer_tables(
+        osm_like, layerset=layerset, layerset_path=layerset_path,
+        language=language,
+    )
     membership = None
     for name, df in tables.items():
         part = df.select("osm_id", F.lit(name).alias("__layer"))
@@ -92,6 +99,8 @@ def run_stream_import(
     out_dir: str,
     layerset: str = "minimal",
     unit_res: int = 4,
+    layerset_path: str | None = None,
+    language: str | None = None,
 ):
     """Drain the files currently in ``input_dir`` through the streaming
     import (availableNow) and block until done. Rerun to pick up new files;
@@ -106,7 +115,10 @@ def run_stream_import(
     target = os.path.join(out_dir, "stream_points")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        updates = map_batch_to_layers(batch_df, layerset=layerset, unit_res=unit_res)
+        updates = map_batch_to_layers(
+            batch_df, layerset=layerset, unit_res=unit_res,
+            layerset_path=layerset_path, language=language,
+        )
         merge_into_partitioned(
             spark, target, updates, key_cols=["image_id"], partition_col="cell_p"
         )

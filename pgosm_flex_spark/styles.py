@@ -122,9 +122,13 @@ def load_qgis_styles(
         staging = staging.withColumn("f_table_catalog", F.lit(db_name))
 
     out = os.path.join(bundle_dir, "layer_styles")
-    try:
+    # ONLY a missing table means "fresh load" — any other read failure
+    # (permissions, corrupt footers, transient FS errors) must raise: the
+    # merge exists to protect customized styles, and treating a failed read
+    # as an empty table would let the overwrite below destroy them
+    if os.path.isdir(out):
         existing = spark.read.parquet(out)
-    except Exception:
+    else:
         existing = spark.createDataFrame([], schema=LAYER_STYLES_SCHEMA)
 
     # the merged plan reads the same parquet dir the overwrite below

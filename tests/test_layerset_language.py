@@ -144,22 +144,52 @@ def test_language_default_off(spark, named_osm):
     assert got == {1: "London", 2: "Dover"}
 
 
-def test_language_env_var_default(spark, named_osm, monkeypatch):
+def test_library_is_env_insensitive(spark, named_osm, monkeypatch):
+    # library determinism: an ambient PGOSM_LANGUAGE must NOT change
+    # build_layer_tables results (oracle parity) — env resolution is the
+    # JOB's boundary concern (scalars.resolve_language)
     monkeypatch.setenv("PGOSM_LANGUAGE", "es")
     got = _names(build_layer_tables(named_osm, layerset="minimal"))
-    assert got == {1: "Londres", 2: "Dover"}
-    # explicit "" forces the unlocalized chain even with the env set
-    got = _names(build_layer_tables(named_osm, layerset="minimal", language=""))
     assert got == {1: "London", 2: "Dover"}
 
 
-def test_language_plan_captured_at_construction(spark, named_osm, monkeypatch):
-    # expressions capture the language when the plan is BUILT — changing the
-    # env afterwards must not change an already-built plan
+def test_resolve_language_job_boundary(monkeypatch):
+    monkeypatch.delenv("PGOSM_LANGUAGE", raising=False)
+    assert sc.resolve_language(None) is None
+    assert sc.resolve_language("de") == "de"
+    assert sc.resolve_language("") is None  # explicit off
     monkeypatch.setenv("PGOSM_LANGUAGE", "es")
-    tables = build_layer_tables(named_osm, layerset="minimal")
-    monkeypatch.delenv("PGOSM_LANGUAGE")
+    assert sc.resolve_language(None) == "es"
+    assert sc.resolve_language("de") == "de"  # CLI wins
+    assert sc.resolve_language("") is None
+
+
+def test_language_plan_captured_at_construction(spark, named_osm):
+    # expressions capture the language when the plan is BUILT — leaving the
+    # name_language scope must not change an already-built plan
+    with sc.name_language("es"):
+        tables = build_layer_tables(named_osm, layerset="minimal")
     assert _names(tables) == {1: "Londres", 2: "Dover"}
+
+
+def test_name_language_scope_is_thread_local(spark):
+    import threading
+
+    seen: dict[str, str | None] = {}
+    barrier = threading.Barrier(2)
+
+    def worker(lang: str | None, key: str) -> None:
+        with sc.name_language(lang):
+            barrier.wait(timeout=10)  # both threads inside their scopes
+            seen[key] = sc.default_name_language()
+            barrier.wait(timeout=10)
+
+    a = threading.Thread(target=worker, args=("es", "a"))
+    b = threading.Thread(target=worker, args=("de", "b"))
+    a.start(); b.start(); a.join(); b.join()
+    # no cross-contamination between concurrently-open scopes
+    assert seen == {"a": "es", "b": "de"}
+    assert sc.default_name_language() is None
 
 
 def test_language_threads_into_routed_rows(spark, named_osm):

@@ -165,3 +165,23 @@ def test_merge_styles_pure(spark):
     assert {r["f_table_name"] for r in rows} == {
         "road_line", "building_polygon", "landuse_polygon", "vplace_polygon",
     }
+
+
+def test_crlf_dump_parses(spark, tmp_path):
+    p = tmp_path / "crlf.sql"
+    p.write_bytes(
+        b"COPY t (a, b) FROM stdin;\r\n1\tx\r\n2\t\\N\r\n\\.\r\n"
+    )
+    df = read_pg_dump_copy(spark, str(p), table="t")
+    assert {r["a"]: r["b"] for r in df.collect()} == {"1": "x", "2": None}
+
+
+def test_load_styles_corrupt_existing_raises(spark, tmp_path):
+    # a present-but-unreadable layer_styles table must RAISE, never be
+    # treated as empty (the overwrite would destroy customized styles)
+    bundle = str(tmp_path / "bundle")
+    os.makedirs(os.path.join(bundle, "layer_styles"))
+    with open(os.path.join(bundle, "layer_styles", "part-0.parquet"), "wb") as f:
+        f.write(b"this is not parquet")
+    with pytest.raises(Exception):
+        load_qgis_styles(spark, bundle)
