@@ -185,3 +185,44 @@ def test_load_styles_corrupt_existing_raises(spark, tmp_path):
         f.write(b"this is not parquet")
     with pytest.raises(Exception):
         load_qgis_styles(spark, bundle)
+
+
+# ---------------------------------------------------------------------------
+# property: decoder == inverse of PostgreSQL's COPY escaping
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _pg_escape(v: str | None) -> str:
+    """PostgreSQL's COPY TO text-format escaping (COPY docs): NULL → \\N;
+    backslash doubles; control delimiters become named escapes."""
+    if v is None:
+        return "\\N"
+    return (
+        v.replace("\\", "\\\\")
+        .replace("\b", "\\b").replace("\f", "\\f").replace("\n", "\\n")
+        .replace("\r", "\\r").replace("\t", "\\t").replace("\v", "\\v")
+    )
+
+
+field_strategy = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_characters=["\x00"]
+        ),
+        max_size=40,
+    ),
+)
+
+
+@given(st.lists(field_strategy, min_size=1, max_size=6))
+@settings(max_examples=200, deadline=None)
+def test_decode_inverts_pg_escape(fields):
+    from pgosm_flex_spark.sources.pg_dump import _decode_field
+
+    line = "\t".join(_pg_escape(f) for f in fields)
+    got = [_decode_field(x) for x in line.split("\t")]
+    assert got == list(fields)
