@@ -30,7 +30,7 @@ LOG = os.environ.get("LOG", "/tmp/cluster_scaling_log.jsonl")
 LOAD_MAX = float(os.environ.get("LOAD_MAX", "3.0"))
 TARGET = float(os.environ.get("TARGET", "0.8"))
 LOW_LEG_MAX = float(os.environ.get("LOW_LEG_MAX", "0"))
-BUSY_FLAG = "/tmp/claude_spark_busy"
+BUSY_FLAG = "/tmp/spark_graft_busy"
 
 
 def append(rec: dict) -> None:

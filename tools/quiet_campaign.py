@@ -12,7 +12,7 @@ evidence, including the failed windows.
 
 Env: LOAD_MAX (default 3.0), LOG (default /tmp/scaling_log.jsonl),
 TARGET (default 0.8), SCALE_INPUT (passed through to the pair tools).
-Coordination: skips a window if /tmp/claude_spark_busy exists (another
+Coordination: skips a window if /tmp/spark_graft_busy exists (another
 Spark job of ours is running — two concurrent Spark jobs pollute both
 timings); marks /tmp/campaign_running while measuring so other work can
 wait.
@@ -30,7 +30,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LOG = os.environ.get("LOG", "/tmp/scaling_log.jsonl")
 LOAD_MAX = float(os.environ.get("LOAD_MAX", "3.0"))
 TARGET = float(os.environ.get("TARGET", "0.8"))
-BUSY_FLAG = "/tmp/claude_spark_busy"
+BUSY_FLAG = "/tmp/spark_graft_busy"
 RUNNING_FLAG = "/tmp/campaign_running"
 
 
