@@ -148,3 +148,17 @@ def test_routed_bundle_3857_read_back(spark, tmp_path):
         spark, os.path.join(out, "routed"), "place_point", layerset="minimal"
     )
     assert "x" not in plain.columns
+
+
+def test_point_projection_stays_jvm_side(spark):
+    # the 10^12-scale path: a lon/lat-only frame projected to 3857 must
+    # contain NO Python eval stage — pure whole-stage-codegen arithmetic
+    df = spark.range(1000).select(
+        (F.col("id") % 360 - 180).cast("double").alias("lon"),
+        (F.col("id") % 120 - 60).cast("double").alias("lat"),
+    )
+    proj = S.with_projected(df, 3857)
+    plan = proj._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan  # no Arrow/Batch Python stages
+    # '*(N) Project' prefix marks whole-stage-codegen in the short plan form
+    assert "*(1) Project" in plan, plan
