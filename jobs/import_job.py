@@ -76,6 +76,14 @@ def main() -> int:
     )
     p.add_argument("--cpus", type=int, default=None)
     p.add_argument(
+        "--world-scale", type=int, default=1,
+        help="replicate the synthetic feature world K× onto a disjoint "
+        "lon/lat tile grid (fixtures.osm_objects_scaled_df) and spread the "
+        "point stream over the same tiles by xxhash64(image_id) %% K — makes "
+        "every job section data-proportional (the scaling-measurement lever; "
+        "1 = the unscaled fixture world)",
+    )
+    p.add_argument(
         "--routed-export",
         action="store_true",
         help="export via the single-scan router (one source pass writes all "
@@ -101,6 +109,7 @@ def main() -> int:
     from pgosm_flex_spark.plans import ImportMode
     from pgosm_flex_spark.plans.checkpoint import checkpointed_pip_join
     from pgosm_flex_spark.functions.scalars import resolve_language
+    from pgosm_flex_spark.layers.registry import resolve_layerset_path
     from pgosm_flex_spark.geometry.srid import _check_srid
     from pgosm_flex_spark.session import get_spark
     from pgosm_flex_spark.sinks import export_bundle
@@ -113,6 +122,7 @@ def main() -> int:
     # environment-sensitive (oracle determinism), and mutating os.environ
     # here would leak config into later in-process invocations
     language = resolve_language(args.language)
+    layerset_path = resolve_layerset_path(args.layerset_path)
 
     spark = get_spark("pgosm-flex-spark-import", cores=args.cpus)
     t0 = time.time()
@@ -139,7 +149,7 @@ def main() -> int:
             args.out,
             layerset=args.layerset,
             unit_res=args.unit_res,
-            layerset_path=args.layerset_path,
+            layerset_path=layerset_path,
             language=language,
         )
         n = spark.read.parquet(target).count()
@@ -200,10 +210,11 @@ def main() -> int:
     def build_fixed_world():
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", "fixed_world")
         t = time.time()
-        # 3. layer mapping over one shared scan (feature side: fixture world)
-        osm = fixtures.osm_objects_df(spark).cache()
+        # 3. layer mapping over one shared scan (feature side: fixture world,
+        # replicated K× under --world-scale so this chain scales with data)
+        osm = fixtures.osm_objects_scaled_df(spark, args.world_scale).cache()
         tables = build_layer_tables(
-            osm, layerset=args.layerset, layerset_path=args.layerset_path,
+            osm, layerset=args.layerset, layerset_path=layerset_path,
             language=language,
         )
         # 4. post-processing: relation dedup always precedes the join (it
@@ -243,11 +254,27 @@ def main() -> int:
         images = spark.read.parquet(args.input)
     else:
         images = fixtures.images_df(spark, args.n_images, with_pixels=False)
-    pts = (
-        tagf.with_lonlat(images)  # geotag-only fast path: no tag map built
-        .filter(F.col("lon").isNotNull())
-        .select("image_id", "lon", "lat")
-    )
+    if "caption" in images.columns:
+        pts = tagf.with_lonlat(images)  # geotag-only fast path: no tag map built
+    elif {"lon", "lat"} <= set(images.columns):
+        # pre-parsed point input (image_id, lon, lat) — e.g. a
+        # tools/prep_scale_input.py materialization: the geotag extraction
+        # already happened, scan it straight
+        pts = images
+    else:
+        print("--input needs a caption column or lon/lat columns", file=sys.stderr)
+        return 2
+    pts = pts.filter(F.col("lon").isNotNull()).select("image_id", "lon", "lat")
+    if args.world_scale > 1:
+        # same tile grid as the scaled feature world: replica by id hash,
+        # pure codegen — the point stream covers every world replica
+        rep = F.pmod(F.xxhash64(F.col("image_id")), F.lit(args.world_scale))
+        dx, dy = fixtures.replica_shift_cols(rep, args.world_scale)
+        pts = pts.select(
+            "image_id",
+            (F.col("lon") + dx).alias("lon"),
+            (F.col("lat") + dy).alias("lat"),
+        )
 
     from pgosm_flex_spark.index import cells
 
@@ -336,7 +363,7 @@ def main() -> int:
                 # routed stream projects inside the sink
                 overrides=project_tables(overrides, args.srid),
                 dry_run=args.dry_run, srid=args.srid,
-                layerset_path=args.layerset_path, language=language,
+                layerset_path=layerset_path, language=language,
                 # the job writes the completion marker itself AFTER the
                 # containment join finishes — an early manifest here would
                 # mark a run whose join later crashed as completed
@@ -401,6 +428,7 @@ def main() -> int:
     manifest["wall_seconds"] = round(time.time() - t0, 1)
     manifest["sections"] = sections
     manifest["n_points"] = n_pts
+    manifest["world_scale"] = args.world_scale
     # metadata-row parity with osm.pgosm_flex (db/deploy/osm_pgosm_flex.sql:
     # region/layerset/srid/version/language/import_mode/input_file — the
     # reference writes one row per import; the manifest is that row here)

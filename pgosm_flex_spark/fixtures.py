@@ -419,3 +419,107 @@ def osm_objects_df(spark: SparkSession) -> DataFrame:
         ),
     )
     return df.withColumn("tags", F.map_from_entries("tags"))
+
+
+# ---------------------------------------------------------------------------
+# world scaling — replicate the fixture world onto a disjoint tile grid so
+# the import job's fixed-size feature sections (layer build, relation dedup,
+# nested rebuild, 45-table export) become DATA-PROPORTIONAL: the lever the
+# full-job scaling pairs need (BASELINE.md §Full-JOB scaling measured the
+# unscaled ~560-row world as a flat ~26 s Amdahl term at every core count).
+# ---------------------------------------------------------------------------
+
+# id stride between replicas; base fixture ids top out at ~700119 ≪ stride,
+# and 2^63/stride leaves room for ~9e11 replicas
+WORLD_ID_STRIDE = 10_000_000
+# tile pitch: world extent + 25% margin keeps replicas strictly disjoint
+# (no cross-replica containment, crossings, or dedup pairs)
+_WORLD_SPAN_X = (LON_MAX - LON_MIN) * 1.25
+_WORLD_SPAN_Y = (LAT_MAX - LAT_MIN) * 1.25
+
+
+def world_replica_layout(k: int) -> tuple[int, float, float]:
+    """(n_cols, span_x, span_y): replica ``r`` of a ``k``-scaled world sits
+    at grid position ``(r % n_cols, r // n_cols)``, shifted by
+    ``(col·span_x, row·span_y)`` degrees. Square-ish grid, bounds-checked
+    against the valid lon/lat (and web-mercator) frame."""
+    n_cols = max(1, int(np.ceil(np.sqrt(k))))
+    n_rows = -(-k // n_cols)
+    if (
+        LON_MIN + n_cols * _WORLD_SPAN_X > 179.0
+        or LAT_MIN + n_rows * _WORLD_SPAN_Y > 84.0
+    ):
+        raise ValueError(
+            f"world_scale={k} overflows the lon/lat frame "
+            f"({n_cols}×{n_rows} tiles of {_WORLD_SPAN_X:.3f}°×{_WORLD_SPAN_Y:.3f}°)"
+        )
+    return n_cols, _WORLD_SPAN_X, _WORLD_SPAN_Y
+
+
+def replica_shift_cols(rep, k: int):
+    """(dx, dy) degree-shift Columns for a replica-index Column — shared by
+    the world generator and the import job's point-side mapping so both
+    sides land on the same tiles (pure codegen)."""
+    from pyspark.sql import functions as F
+
+    n_cols, sx, sy = world_replica_layout(k)
+    return (
+        (rep % n_cols).cast("double") * F.lit(sx),
+        F.floor(rep / n_cols).cast("double") * F.lit(sy),
+    )
+
+
+def osm_objects_scaled_df(spark: SparkSession, k: int) -> DataFrame:
+    """The fixture world replicated ``k``× onto the disjoint tile grid.
+
+    Per replica ``r``: ids shift by ``±r·WORLD_ID_STRIDE`` (sign-preserving,
+    so relations stay negative and their ``member_ids`` references follow
+    into the same replica), lon/lat shift by the tile offset (codegen), and
+    every WKB geometry translates by the same offset (Arrow-batched kernel).
+    Tags are unchanged — the layer predicates see ``k``× the rows of every
+    family. Generation is distributed: the ~560-row base world broadcasts
+    against ``spark.range(k)``, so no replica materializes on the driver."""
+    from pyspark.sql import functions as F
+
+    if k <= 1:
+        return osm_objects_df(spark)
+    world_replica_layout(k)  # bounds check before any Spark work
+    base = osm_objects_df(spark)
+    reps = spark.range(k).select(F.col("id").alias("__rep"))
+    j = reps.crossJoin(F.broadcast(base))
+    dx, dy = replica_shift_cols(F.col("__rep"), k)
+    off = F.col("__rep") * F.lit(WORLD_ID_STRIDE)
+    sign_off = F.when(F.col("osm_id") < 0, -off).otherwise(off)
+
+    @pd_udf_binary
+    def _translate(wkb_s: pd.Series, dx_s: pd.Series, dy_s: pd.Series) -> pd.Series:
+        out = []
+        for b, x, y in zip(wkb_s, dx_s, dy_s):
+            if b is None:
+                out.append(None)
+                continue
+            g = wkb.decode(bytes(b))
+            shift = np.array([x, y], dtype=np.float64)
+            out.append(wkb.rebuild(g, [r + shift for r in g.rings]))
+        return pd.Series(out, dtype=object)
+
+    return j.select(
+        (F.col("osm_id") + sign_off).alias("osm_id"),
+        "geom_type",
+        "is_closed",
+        "tags",
+        (F.col("lon") + dx).alias("lon"),
+        (F.col("lat") + dy).alias("lat"),
+        _translate(F.col("geom_wkb"), dx, dy).alias("geom_wkb"),
+        F.transform(
+            "member_ids", lambda m: m + F.col("__rep") * F.lit(WORLD_ID_STRIDE)
+        ).alias("member_ids"),
+    )
+
+
+def pd_udf_binary(fn):
+    """Late-bound ``pandas_udf('binary')`` (the decorator resolves against
+    the active session; module-level use would fail before one exists)."""
+    from pyspark.sql import functions as F
+
+    return F.pandas_udf(fn, "binary")

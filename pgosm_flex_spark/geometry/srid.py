@@ -32,6 +32,14 @@ from pgosm_flex_spark.geometry import wkb as W
 R_3857 = 6378137.0
 SRID_WGS84 = 4326
 SRID_WEB_MERCATOR = 3857
+# The web-mercator frame: |y| <= π·R ≈ 20037508.34 m, reached at
+# φ = atan(sinh(π)) ≈ 85.0511°. The reference stack (osm2pgsql 3857 output)
+# clips geometry to this frame; an unclamped forward map instead blows up
+# toward ±∞ at the poles (lat 89.9° → y ≈ 4.8e7 m). Latitudes beyond the
+# frame clamp to its edge so polar input lands on the frame boundary —
+# same outcome as the reference's clip for point data.
+MERCATOR_MAX_LAT = 85.05112877980659
+MERCATOR_MAX_Y = R_3857 * float(np.arcsinh(np.tan(np.radians(MERCATOR_MAX_LAT))))
 
 
 def _check_srid(srid: int) -> None:
@@ -53,8 +61,13 @@ def mercator_x_col(lon: Column) -> Column:
 
 def mercator_y_col(lat: Column) -> Column:
     """EPSG:3857 y meters from degrees latitude (asinh∘tan form of
-    ``ln(tan(π/4 + φ/2))`` — identical function, better conditioning near 0)."""
-    return F.lit(R_3857) * F.asinh(F.tan(F.radians(lat)))
+    ``ln(tan(π/4 + φ/2))`` — identical function, better conditioning near 0).
+    Latitudes beyond the mercator frame clamp to ±MERCATOR_MAX_LAT (the
+    reference's ±20037508.34 m clip)."""
+    lat_c = F.greatest(
+        F.least(lat, F.lit(MERCATOR_MAX_LAT)), F.lit(-MERCATOR_MAX_LAT)
+    )
+    return F.lit(R_3857) * F.asinh(F.tan(F.radians(lat_c)))
 
 
 def inv_mercator_lon_col(x: Column) -> Column:
@@ -74,7 +87,8 @@ def _tx_rings(rings: list[np.ndarray]) -> list[np.ndarray]:
     for r in rings:
         t = np.empty_like(r)
         t[:, 0] = R_3857 * np.radians(r[:, 0])
-        t[:, 1] = R_3857 * np.arcsinh(np.tan(np.radians(r[:, 1])))
+        lat = np.clip(r[:, 1], -MERCATOR_MAX_LAT, MERCATOR_MAX_LAT)
+        t[:, 1] = R_3857 * np.arcsinh(np.tan(np.radians(lat)))
         out.append(t)
     return out
 
@@ -82,22 +96,7 @@ def _tx_rings(rings: list[np.ndarray]) -> list[np.ndarray]:
 def reproject_wkb_bytes(wkb: bytes) -> bytes:
     """One geometry 4326 → 3857, kind-preserving."""
     g = W.decode(wkb)
-    rings = _tx_rings(g.rings)
-    if g.kind == W.POINT:
-        return W.encode_point(float(rings[0][0, 0]), float(rings[0][0, 1]))
-    if g.kind == W.LINESTRING:
-        return W.encode_linestring(rings[0])
-    if g.kind == W.POLYGON:
-        return W.encode_polygon(rings)
-    if g.kind == W.MULTILINESTRING:
-        return W.encode_multilinestring(rings)
-    if g.kind == W.MULTIPOLYGON:
-        polys, i = [], 0
-        for n in g.part_ring_counts:
-            polys.append(rings[i : i + n])
-            i += n
-        return W.encode_multipolygon(polys)
-    raise ValueError(f"unsupported kind {g.kind}")
+    return W.rebuild(g, _tx_rings(g.rings))
 
 
 def reproject_wkb_col(wkb: Column) -> Column:

@@ -168,6 +168,27 @@ def decode(wkb: bytes) -> Geom:
     raise ValueError(f"unsupported WKB geometry type {kind}")
 
 
+def rebuild(g: Geom, rings: list[np.ndarray]) -> bytes:
+    """Re-encode a decoded geometry with replacement ring arrays —
+    kind-preserving (the shared tail of every coordinate-mapping kernel:
+    reprojection, fixture-world translation)."""
+    if g.kind == POINT:
+        return encode_point(float(rings[0][0, 0]), float(rings[0][0, 1]))
+    if g.kind == LINESTRING:
+        return encode_linestring(rings[0])
+    if g.kind == POLYGON:
+        return encode_polygon(rings)
+    if g.kind == MULTILINESTRING:
+        return encode_multilinestring(rings)
+    if g.kind == MULTIPOLYGON:
+        polys, i = [], 0
+        for n in g.part_ring_counts:
+            polys.append(rings[i : i + n])
+            i += n
+        return encode_multipolygon(polys)
+    raise ValueError(f"unsupported kind {g.kind}")
+
+
 def geom_type_name(kind: int) -> str:
     return {
         POINT: "ST_Point",

@@ -849,23 +849,35 @@ TABLES: list[TableSpec] = [
 ]
 
 
+def resolve_layerset_path(cli_value: str | None) -> str | None:
+    """The JOB-boundary resolution the reference applies to the layerset
+    directory: an explicit ``--layerset-path`` wins, else PGOSM_LAYERSET_PATH
+    (docker/pgosm_flex.py:474-515), else the built-in names. Library code
+    never reads the env var — :func:`layerset_layers` is argument-only so
+    library results cannot change under an ambient environment (the same
+    determinism contract as ``scalars.resolve_language``)."""
+    if cli_value is not None:
+        return cli_value or None
+    return os.environ.get("PGOSM_LAYERSET_PATH") or None
+
+
 def layerset_layers(layerset: str, layerset_path: str | None = None) -> list[str]:
     """Layer names a layerset enables.
 
-    Without ``layerset_path`` (and with PGOSM_LAYERSET_PATH unset) the four
-    built-in names resolve from :data:`LAYERSETS` — the same lists the
-    reference ships as ``flex-config/layerset/{minimal,basic,default,
-    everything}.ini``. With a path (argument wins over the env var, mirroring
-    ``--layerset-path`` over PGOSM_LAYERSET_PATH), ``<path>/<layerset>.ini``
-    is parsed with the reference's custom-layerset semantics
+    Without ``layerset_path`` the four built-in names resolve from
+    :data:`LAYERSETS` — the same lists the reference ships as
+    ``flex-config/layerset/{minimal,basic,default,everything}.ini``. With a
+    path, ``<path>/<layerset>.ini`` is parsed with the reference's
+    custom-layerset semantics
     (/root/reference/flex-config/layerset.lua:17-28, run.lua:5-103,
     docker/pgosm_flex.py:474-515): a ``[layerset]`` section where a layer is
     enabled iff its value is ``true`` (case-insensitive; missing or ``false``
     disables — the Lua nil / Python ``.lower() == 'true'`` gate), and keys
     naming no known layer are ignored exactly as run.lua's fixed checklist
-    ignores them."""
-    if layerset_path is None:
-        layerset_path = os.environ.get("PGOSM_LAYERSET_PATH") or None
+    ignores them.
+
+    Argument-only by design: PGOSM_LAYERSET_PATH is honored at the job
+    boundary via :func:`resolve_layerset_path`, never here."""
     if layerset_path is None:
         try:
             return LAYERSETS[layerset]

@@ -135,8 +135,10 @@ def read_layer_table(
     build_layer_tables output). For a bundle exported with ``srid=3857``
     pass the same srid so the projected ``x``/``y`` meter columns survive
     the projection back to the builder schema."""
+    from pgosm_flex_spark.geometry.srid import _check_srid
     from pgosm_flex_spark.layers.registry import layer_table_columns
 
+    _check_srid(srid)
     cols = list(layer_table_columns(layerset, layerset_path, language)[name])
     if srid != 4326:
         cols += ["x", "y"]

@@ -705,13 +705,18 @@ def build_routing_network(
     lookup: DataFrame | None = None,
     id_col: str = "osm_id",
     res: int = DEFAULT_RES,
+    extra_attrs: tuple[str, ...] = (),
 ) -> tuple[DataFrame, DataFrame]:
     """roads (road_line schema) → (edges, vertices).
 
     edges: edge_id, osm_id, seq, geom_wkb, source_vertex, target_vertex,
     length_m, cost_length_forward/reverse, maxspeed_final,
-    cost_seconds_forward/reverse.
+    cost_seconds_forward/reverse [, extra_attrs...].
     vertices: vertex_id, lon, lat, degree.
+
+    ``extra_attrs`` names additional input columns (e.g. name/tunnel/bridge
+    for the waterway network) replicated onto every split edge via the same
+    zero-join carry path as the cost attributes.
     """
     from pgosm_flex_spark.functions.scalars import kmh_to_seconds_per_meter
     from pgosm_flex_spark.geometry.udfs import length_m_udf
@@ -720,7 +725,11 @@ def build_routing_network(
     # joining back to the road-sized input afterwards: the old
     # join(broadcast(roads-attrs)) OOMs at 100× scale — only the 25-row
     # pgosm.road lookup below earns a broadcast
-    attr_cols = tuple(c for c in ("layer", "oneway", "maxspeed", "osm_type") if c in roads.columns)
+    attr_cols = tuple(
+        c
+        for c in ("layer", "oneway", "maxspeed", "osm_type") + tuple(extra_attrs)
+        if c in roads.columns
+    )
     parts = explode_lines(roads, id_col=id_col, carry=attr_cols)
     base = parts.withColumn(
         "edge_base_id", F.xxhash64(F.col(id_col), F.col("part"))
@@ -815,5 +824,41 @@ def build_routing_network(
         "final_edge_id", id_col, "seq", "geom_wkb", "source_vertex", "target_vertex",
         "length_m", "cost_length_forward", "cost_length_reverse", "maxspeed_final",
         "cost_seconds_forward", "cost_seconds_reverse",
+        *[c for c in extra_attrs if c in attr_cols],
     ]
     return edges.select(*edge_cols).withColumnRenamed("final_edge_id", "edge_id"), vertices
+
+
+def build_water_routing_network(
+    water_lines: DataFrame,
+    id_col: str = "osm_id",
+    res: int = DEFAULT_RES,
+) -> tuple[DataFrame, DataFrame]:
+    """Waterway routing prep — the reference's second routing graph
+    (/root/reference/db/deploy/routing_functions.sql:417-520): water_line
+    rows go through the SAME split-at-crossings edge pipeline as roads, but
+    costs are length-based only (``cost_length`` via geography length,
+    sql:474-478) and edges are strictly directed downstream — the reference's
+    GENERATED columns pin ``cost_length_forward = cost_length`` and
+    ``cost_length_reverse = -cost_length`` (sql:482-496), which is exactly
+    the generic builder's oneway=1 contract. name/tunnel/bridge replicate
+    onto every split edge (sql:452-462) through the zero-join carry path
+    instead of the reference's join-back-by-osm_id.
+
+    Returns (edges, vertices); edges: edge_id, osm_id, seq, geom_wkb,
+    source_vertex, target_vertex, cost_length, cost_length_forward,
+    cost_length_reverse [, name, tunnel, bridge when present].
+    """
+    extra = tuple(c for c in ("name", "tunnel", "bridge") if c in water_lines.columns)
+    wl = water_lines.withColumn("oneway", F.lit(1).cast("short"))
+    edges, vertices = build_routing_network(
+        wl, lookup=None, id_col=id_col, res=res, extra_attrs=extra
+    )
+    return (
+        edges.select(
+            "edge_id", id_col, "seq", "geom_wkb", "source_vertex", "target_vertex",
+            F.col("length_m").alias("cost_length"),
+            "cost_length_forward", "cost_length_reverse", *extra,
+        ),
+        vertices,
+    )

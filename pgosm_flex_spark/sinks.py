@@ -184,7 +184,10 @@ def export_bundle_routed(
     ``srid`` as in :func:`export_bundle`: 3857 projects the routed superset
     (one codegen x/y + one kernel pass over the single stream — the routed
     path pays the reprojection once, not per table). Override tables are
-    the caller's frames and must be pre-projected (jobs/import_job.py does).
+    the caller's frames: pre-projected ones (carrying x/y, as
+    jobs/import_job.py passes) write as-is, unprojected ones with lon/lat
+    are projected here, and ambiguous wkb-only frames raise rather than
+    ship degrees under the manifest's EPSG:3857 label.
 
     Where :func:`export_bundle` runs one write job per table (45 jobs whose
     source scans the cached ``osm`` 45×), this routes every row through
@@ -273,8 +276,32 @@ def export_bundle_routed(
             # must raise, not report a freshly-written bundle as all-zero.
             pass
     for name in sorted(overrides):
+        ov = overrides[name]
+        if srid != 4326:
+            # override frames are the caller's; make the manifest's
+            # EPSG:{srid} claim true for them regardless of whether the
+            # caller pre-projected. Pre-projected frames carry x/y (lon/lat
+            # stay degrees through with_projected), so their presence is the
+            # reliable already-done marker — re-projecting would double-map
+            # geom_wkb. A frame with neither x/y nor lon/lat is ambiguous
+            # (is its wkb meters or degrees?) and must fail loudly.
+            ov_cols = set(ov.columns)
+            if {"x", "y"} <= ov_cols:
+                pass  # pre-projected (jobs/import_job.py path)
+            elif {"lon", "lat"} & ov_cols or "geom_wkb" not in ov_cols:
+                from pgosm_flex_spark.geometry.srid import with_projected
+
+                ov = with_projected(ov, srid)
+            else:
+                raise ValueError(
+                    f"override table {name!r} for srid={srid} carries "
+                    "geom_wkb but neither x/y (pre-projected) nor lon/lat "
+                    "(projectable) — cannot tell whether its geometry is "
+                    "already in the target SRID; project it with "
+                    "geometry.srid.with_projected first"
+                )
         counts[name] = write_layer_table(
-            overrides[name], out_dir, name, cell_res=cell_res, dry_run=dry_run
+            ov, out_dir, name, cell_res=cell_res, dry_run=dry_run
         )
 
     manifest = {

@@ -317,6 +317,40 @@ def street_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def water_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The street grid re-presented as waterways (water_line-shaped: osm_id,
+    geom_wkb, layer, osm_type, osm_subtype, name, tunnel, bridge): H lines
+    (keys 0..4) are rivers, V lines (keys 5..9) canals. Same 25 known
+    crossings as :func:`street_ways`, so the routing-network oracle's
+    closed-form crossing SQL applies to the water graph too."""
+    sups = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") < 10)
+        .select("s_suppkey")
+        .collect()
+    )
+    rows = []
+    for s in sups:
+        k = int(s["s_suppkey"])
+        if k < 5:
+            y = LAT0 + (k + 0.5) * CELL_H
+            coords = np.array([[LON0, y], [LON0 + LON_SPAN, y]])
+            subtype = "river"
+        else:
+            x = LON0 + (k - 5 + 0.5) * STRIP_W
+            coords = np.array([[x, LAT0], [x, LAT0 + LAT_SPAN]])
+            subtype = "canal"
+        rows.append(
+            (k, wkb.encode_linestring(coords), 0, "waterway", subtype,
+             f"water-{k}", None, None)
+        )
+    return spark.createDataFrame(
+        rows,
+        schema="osm_id long, geom_wkb binary, layer int, osm_type string, "
+        "osm_subtype string, name string, tunnel string, bridge string",
+    )
+
+
 def street_crossing_sql() -> dict[str, str]:
     """Closed-form SQL text for the street grid: H street k runs at
     y_k = LAT0 + (k+0.5)*CELL_H; V street j at x_j = LON0 + (j-5+0.5)*STRIP_W

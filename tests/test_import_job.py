@@ -286,3 +286,35 @@ def test_append_same_date_still_applies_diff(spark, tmp_path):
     )
     assert got2.exceptAll(exp).count() == 0
     assert exp.exceptAll(got2).count() == 0
+
+
+def test_world_scale_invariants(spark, tmp_path):
+    """--world-scale K: every layer table grows exactly K× (disjoint tile
+    replicas of the fixture world), while the PIP pair count is IDENTICAL to
+    the unscaled run — each point translates by the same tile offset as its
+    replica's polygons, so it matches exactly the shifted copies of the
+    polygons it matched at K=1. (Own K=1 run: the shared job_out fixture is
+    mutated by the append tests.)"""
+    common = ["--n-images", "2000", "--layerset", "minimal", "--skip-nested",
+              "--unit-res", "13", "--date", "2026-01-01"]
+    job_out = str(tmp_path / "k1")
+    assert run_job(["--out", job_out, *common]) == 0
+    out = str(tmp_path / "k3")
+    rc = run_job(["--out", out, *common, "--world-scale", "3"])
+    assert rc == 0
+    base = json.load(open(os.path.join(job_out, "manifest.json")))
+    scaled = json.load(open(os.path.join(out, "manifest.json")))
+    assert scaled["world_scale"] == 3
+    for name, n in base["tables"].items():
+        assert scaled["tables"][name] == 3 * n, name
+    n_base = spark.read.parquet(*glob.glob(f"{job_out}/image_place_pairs/unit=*")).count()
+    n_scaled = spark.read.parquet(*glob.glob(f"{out}/image_place_pairs/unit=*")).count()
+    assert n_scaled == n_base
+    # replicas really are offset: pair place ids span multiple id strides
+    pairs = spark.read.parquet(*glob.glob(f"{out}/image_place_pairs/unit=*"))
+    poly_col = next(c for c in pairs.columns if c not in ("image_id",))
+    reps = (
+        pairs.select(F.floor(F.abs(F.col(poly_col)) / fixtures.WORLD_ID_STRIDE).alias("r"))
+        .distinct().count()
+    )
+    assert reps == 3

@@ -19,6 +19,7 @@ from pgosm_flex_spark.layers.registry import (
     LAYERSETS,
     layer_table_predicates,
     layerset_layers,
+    resolve_layerset_path,
 )
 from pgosm_flex_spark.layers.router import route_layer_rows
 
@@ -66,12 +67,21 @@ def test_ini_reproducing_builtin_minimal_matches(tmp_path):
     assert layerset_layers("minimal", str(tmp_path)) == sorted(LAYERSETS["minimal"])
 
 
-def test_ini_env_path_used_when_no_arg(ini_dir, monkeypatch):
+def test_env_path_resolved_at_job_boundary_only(ini_dir, monkeypatch):
     monkeypatch.setenv("PGOSM_LAYERSET_PATH", ini_dir)
-    assert layerset_layers("place_true") == ["place"]
-    # and the argument wins over the env var
+    # library call stays env-insensitive: the ambient var must not make an
+    # unknown built-in name suddenly resolve (oracle determinism)
+    with pytest.raises(ValueError, match="unknown layerset"):
+        layerset_layers("place_true")
+    # the boundary resolver picks the env var up...
+    assert resolve_layerset_path(None) == ini_dir
+    assert layerset_layers("place_true", resolve_layerset_path(None)) == ["place"]
+    # ...and an explicit --layerset-path argument wins over it
     monkeypatch.setenv("PGOSM_LAYERSET_PATH", "/nonexistent")
-    assert layerset_layers("place_true", ini_dir) == ["place"]
+    assert resolve_layerset_path(ini_dir) == ini_dir
+    assert layerset_layers("place_true", resolve_layerset_path(ini_dir)) == ["place"]
+    monkeypatch.delenv("PGOSM_LAYERSET_PATH")
+    assert resolve_layerset_path(None) is None
 
 
 def test_ini_missing_file_raises(ini_dir):

@@ -61,6 +61,30 @@ def test_routing_network_grid(spark, grid_roads):
     assert set(e["edge_id"]) == set(e2["edge_id"])
 
 
+def test_water_routing_network(spark, grid_roads):
+    """Waterway variant (routing_functions.sql:417-520): same split pipeline,
+    length-only costs, strictly directed (reverse = -cost_length), and
+    name/tunnel/bridge replicated onto every split edge."""
+    water = (
+        grid_roads.drop("oneway", "maxspeed")
+        .withColumn("name", F.concat(F.lit("w-"), F.col("osm_id")))
+        .withColumn("tunnel", F.lit(None).cast("string"))
+        .withColumn("bridge", F.when(F.col("osm_id") == 0, F.lit("yes")))
+    )
+    edges, vertices = routing.build_water_routing_network(water)
+    e = edges.toPandas()
+    assert len(e) == 24
+    assert vertices.count() == 21
+    # strictly directed: forward = +cost_length, reverse = -cost_length
+    assert (e["cost_length_forward"] == e["cost_length"]).all()
+    assert (e["cost_length_reverse"] == -e["cost_length"]).all()
+    assert (e["cost_length"] > 0).all()
+    # attrs replicate onto every split piece, no join-back
+    assert (e["name"] == "w-" + e["osm_id"].astype(str)).all()
+    assert (e.loc[e["osm_id"] == 0, "bridge"] == "yes").all()
+    assert e.loc[e["osm_id"] != 0, "bridge"].isna().all()
+
+
 def test_layer_separation(spark):
     """Edges on different layers (bridge over road) must not split."""
     rows = [

@@ -313,3 +313,49 @@ def test_split_sql_statements_drops_comment_only_segments(spark):
     # but comments inside a real statement ride through
     stmts = split_sql_statements("SELECT 3 -- inline\n;")
     assert stmts == ["SELECT 3 -- inline"]
+
+
+def test_routed_3857_overrides_projected_in_sink(spark, tmp_path):
+    """A direct caller passing UNPROJECTED override frames at srid=3857 must
+    still get meter coordinates on disk (the manifest claims EPSG:3857);
+    pre-projected frames (x/y present) pass through un-re-projected; a
+    wkb-only frame of unknowable SRID raises."""
+    import numpy as np
+    import pytest
+
+    from pgosm_flex_spark.geometry import srid as S
+    from pgosm_flex_spark.sinks import export_bundle_routed
+
+    osm = fixtures.osm_objects_df(spark)
+    tables = build_layer_tables(osm, layerset="minimal")
+    raw = tables["place_point"]
+
+    # unprojected override: the sink projects it
+    export_bundle_routed(
+        spark, osm, str(tmp_path / "a"), region="r", layerset="minimal",
+        pgosm_date="d", srid=3857, files_per_partition=None,
+        overrides={"place_point": raw},
+    )
+    got = spark.read.parquet(str(tmp_path / "a" / "place_point"))
+    row = got.filter(F.col("lon").isNotNull()).first()
+    assert row["x"] == pytest.approx(S.R_3857 * np.radians(row["lon"]), rel=1e-12)
+
+    # pre-projected override: byte-identical to the auto-projected write
+    pre = S.with_projected(raw, 3857)
+    export_bundle_routed(
+        spark, osm, str(tmp_path / "b"), region="r", layerset="minimal",
+        pgosm_date="d", srid=3857, files_per_partition=None,
+        overrides={"place_point": pre},
+    )
+    got_b = spark.read.parquet(str(tmp_path / "b" / "place_point"))
+    assert got_b.exceptAll(got).count() == 0
+    assert got.exceptAll(got_b).count() == 0
+
+    # ambiguous wkb-only frame: refuse rather than mislabel
+    ambiguous = raw.select("osm_id", "geom_wkb")
+    with pytest.raises(ValueError, match="cannot tell"):
+        export_bundle_routed(
+            spark, osm, str(tmp_path / "c"), region="r", layerset="minimal",
+            pgosm_date="d", srid=3857, files_per_partition=None,
+            overrides={"place_polygon": ambiguous},
+        )

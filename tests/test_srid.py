@@ -162,3 +162,35 @@ def test_point_projection_stays_jvm_side(spark):
     assert "EvalPython" not in plan, plan  # no Arrow/Batch Python stages
     # '*(N) Project' prefix marks whole-stage-codegen in the short plan form
     assert "*(1) Project" in plan, plan
+
+
+def test_polar_latitude_clamps_to_mercator_frame(spark):
+    # the reference stack clips 3857 geometry at the ±85.0511° /
+    # ±20037508.34 m web-mercator frame; the forward map must not emit
+    # coordinates beyond it for polar input
+    df = spark.createDataFrame(
+        [(0, 0.0, 90.0), (1, 0.0, -90.0), (2, 0.0, 89.9), (3, 0.0, S.MERCATOR_MAX_LAT)],
+        "id long, lon double, lat double",
+    )
+    rows = {r["id"]: r for r in S.with_projected(df, 3857).collect()}
+    for i in (0, 2):
+        assert rows[i]["y"] == pytest.approx(S.MERCATOR_MAX_Y, rel=1e-12)
+    assert rows[1]["y"] == pytest.approx(-S.MERCATOR_MAX_Y, rel=1e-12)
+    assert rows[3]["y"] == pytest.approx(S.MERCATOR_MAX_Y, rel=1e-12)
+    assert abs(S.MERCATOR_MAX_Y - 20037508.342789244) < 1e-6
+    # the WKB kernel applies the same clamp
+    from pgosm_flex_spark.geometry import wkb as W
+
+    out = S.reproject_wkb_bytes(W.encode_linestring(
+        np.array([[0.0, 80.0], [1.0, 90.0]])
+    ))
+    ring = W.decode(out).rings[0]
+    assert ring[1, 1] == pytest.approx(S.MERCATOR_MAX_Y, rel=1e-12)
+    assert ring[0, 1] < S.MERCATOR_MAX_Y
+
+
+def test_read_layer_table_rejects_unknown_srid(spark, tmp_path):
+    from pgosm_flex_spark.layers.router import read_layer_table
+
+    with pytest.raises(ValueError, match="unsupported SRID"):
+        read_layer_table(spark, str(tmp_path), "place_point", srid=9999)

@@ -35,13 +35,16 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_leg(cpus: int, inp: str, routed: bool, noop: bool = False) -> dict:
+def run_leg(cpus: int, inp: str, routed: bool, noop: bool = False,
+            world_scale: int = 1) -> dict:
     out_dir = f"/tmp/import_scaling_out_{cpus}"
     shutil.rmtree(out_dir, ignore_errors=True)
     cmd = [
         sys.executable, os.path.join(REPO, "jobs", "import_job.py"),
         "--input", inp, "--out", out_dir, "--cpus", str(cpus), "--force",
     ]
+    if world_scale > 1:
+        cmd += ["--world-scale", str(world_scale)]
     if routed:
         cmd.append("--routed-export")
     if noop:
@@ -80,15 +83,20 @@ def main() -> None:
     hi = int(os.environ.get("HI", "16"))
     routed = os.environ.get("ROUTED", "1") == "1"
     noop = os.environ.get("SINK", "parquet") == "noop"
+    # WORLD_SCALE > 1 replicates the feature world K× (disjoint tiles) and
+    # spreads the points over the tiles — the fixed-world sections become
+    # data-proportional instead of a flat Amdahl term
+    world_scale = int(os.environ.get("WORLD_SCALE", "1"))
     load0 = round(os.getloadavg()[0], 1)
-    hi_leg = run_leg(hi, inp, routed, noop)
-    lo_leg = run_leg(lo, inp, routed, noop)
+    hi_leg = run_leg(hi, inp, routed, noop, world_scale)
+    lo_leg = run_leg(lo, inp, routed, noop, world_scale)
     # efficiency over the JOB's own wall (excludes JVM start, which a real
     # cluster pays once per executor fleet, not per measurement)
     eff = (lo_leg["wall_seconds"] / hi_leg["wall_seconds"]) / (hi / lo)
     print(json.dumps({
         "metric": "full_import_scaling",
         "n_points": hi_leg["n_points"],
+        "world_scale": world_scale,
         "routed_export": routed,
         "sink": "noop" if noop else "parquet",
         "lo_cpus": lo, "hi_cpus": hi,
