@@ -254,27 +254,33 @@ def main() -> int:
         images = spark.read.parquet(args.input)
     else:
         images = fixtures.images_df(spark, args.n_images, with_pixels=False)
-    if "caption" in images.columns:
-        pts = tagf.with_lonlat(images)  # geotag-only fast path: no tag map built
-    elif {"lon", "lat"} <= set(images.columns):
-        # pre-parsed point input (image_id, lon, lat) — e.g. a
-        # tools/prep_scale_input.py materialization: the geotag extraction
-        # already happened, scan it straight
-        pts = images
-    else:
-        print("--input needs a caption column or lon/lat columns", file=sys.stderr)
-        return 2
-    pts = pts.filter(F.col("lon").isNotNull()).select("image_id", "lon", "lat")
-    if args.world_scale > 1:
-        # same tile grid as the scaled feature world: replica by id hash,
-        # pure codegen — the point stream covers every world replica
-        rep = F.pmod(F.xxhash64(F.col("image_id")), F.lit(args.world_scale))
-        dx, dy = fixtures.replica_shift_cols(rep, args.world_scale)
-        pts = pts.select(
-            "image_id",
-            (F.col("lon") + dx).alias("lon"),
-            (F.col("lat") + dy).alias("lat"),
-        )
+    def geotagged_points(frame):
+        """(image_id, lon, lat) from an images frame — caption geotag
+        extraction when present, else the pre-parsed fast path (e.g. a
+        tools/prep_scale_input.py materialization); world-scale replica
+        mapping applied the same way to inputs AND diffs."""
+        if "caption" in frame.columns:
+            p = tagf.with_lonlat(frame)  # geotag-only fast path: no tag map
+        elif {"lon", "lat"} <= set(frame.columns):
+            p = frame
+        else:
+            raise SystemExit(
+                "input parquet needs a caption column or lon/lat columns"
+            )
+        p = p.filter(F.col("lon").isNotNull()).select("image_id", "lon", "lat")
+        if args.world_scale > 1:
+            # same tile grid as the scaled feature world: replica by id
+            # hash, pure codegen — the point stream covers every replica
+            rep = F.pmod(F.xxhash64(F.col("image_id")), F.lit(args.world_scale))
+            dx, dy = fixtures.replica_shift_cols(rep, args.world_scale)
+            p = p.select(
+                "image_id",
+                (F.col("lon") + dx).alias("lon"),
+                (F.col("lat") + dy).alias("lat"),
+            )
+        return p
+
+    pts = geotagged_points(images)
 
     from pgosm_flex_spark.index import cells
 
@@ -298,9 +304,7 @@ def main() -> int:
     if args.mode == "append" and args.diff:
         from pgosm_flex_spark.streaming.incremental import affected_cells
 
-        diff_pts = tagf.with_lonlat(spark.read.parquet(args.diff)).filter(
-            F.col("lon").isNotNull()
-        )
+        diff_pts = geotagged_points(spark.read.parquet(args.diff))
         # the checkpoint job identity must include the DIFF CONTENT, not
         # just (region, date): an append run that reuses the previous
         # --date (it defaults to 1970-01-01) would otherwise find every

@@ -102,6 +102,27 @@ def build_polygon_cover(
     return polygons.select(poly_id, wkb_col).mapInPandas(cover, schema=schema)
 
 
+# auto-selection thresholds for the cover join strategy: a broadcast cover
+# is copied whole into every executor and serialized into every task binary,
+# so past a few million rows / ~10^8 wkb bytes the salted shuffle equi-join
+# (cell co-partitioning — the planetary-polygon-set plan) wins even though
+# it moves the point side. Measured turning point on this host: the
+# world-scale-1000 fixture (337k polygons → 32M-row / ~1 GB cover) ran the
+# 48M-point join at 590 s broadcast vs the shuffle plan's data-proportional
+# wall.
+BROADCAST_COVER_MAX_ROWS = 4_000_000
+BROADCAST_COVER_MAX_BYTES = 128 << 20
+
+
+def should_broadcast_cover(n_rows: int, wkb_bytes: int | None) -> bool:
+    """Strategy pick for a materialized cover: broadcast only while the
+    cover is small enough that shipping it whole beats co-partitioning the
+    point side (thresholds above; ``wkb_bytes`` None = no boundary rows)."""
+    return n_rows <= BROADCAST_COVER_MAX_ROWS and (
+        (wkb_bytes or 0) <= BROADCAST_COVER_MAX_BYTES
+    )
+
+
 def cover_res_levels(cover: DataFrame) -> list[int]:
     """The distinct cell resolutions present in a polygon cover — one
     bounded driver collect (≤ fine-coarse+1 rows). res_levels is a property

@@ -227,7 +227,23 @@ def checkpointed_pip_join(
     if expected_units is not None:
         units |= set(expected_units)
     cover = build_polygon_cover(polygons).persist()
-    cover.count()
+    # ONE materialize pass also yields the broadcast-strategy stats: rows +
+    # boundary wkb bytes decide broadcast vs the salted shuffle fallback
+    # (pip_join.should_broadcast_cover). A world/polygon set large enough to
+    # blow the broadcast (measured: 337k polygons → 32M-row / 1 GB cover →
+    # 590 s at 48M points) must co-partition by cell instead; callers can
+    # still force either mode by passing broadcast_cover explicitly.
+    cstats = cover.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("geom_wkb")).alias("b"),
+    ).collect()[0]
+    if "broadcast_cover" not in pip_kwargs:
+        from pgosm_flex_spark.operators.pip_join import should_broadcast_cover
+
+        pip_kwargs = dict(pip_kwargs)
+        pip_kwargs["broadcast_cover"] = should_broadcast_cover(
+            cstats["n"], cstats["b"]
+        )
     # resolve the cover's resolution levels ONCE — per-unit pip_join calls
     # would otherwise each run a collect job just to rediscover them
     levels = cover_res_levels(cover)
