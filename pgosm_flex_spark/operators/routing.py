@@ -635,7 +635,13 @@ def route_paths(pred: DataFrame, source_vertex_id: int) -> DataFrame:
     graph diameters. Output per reached vertex: ``vertex_ids`` =
     [source, …, vertex], ``edge_ids`` = the traversed edge ids (no trailing
     -1 sentinel — the reference's pgr LEFT JOIN artifact, documented
-    divergence), dist, hops."""
+    divergence), dist, hops.
+
+    Cost note: materializing the reference's ARRAY_AGG output inherently
+    carries O(path-length) arrays through each of the log2(diameter) splice
+    shuffles — at continental diameters the late rounds move long arrays.
+    Callers that need only distances/hops (or the next-hop tree) should stay
+    on ``shortest_paths(..., with_pred=True)`` and skip reconstruction."""
     src = int(source_vertex_id)
     state = pred.select(
         "vertex_id",

@@ -45,6 +45,13 @@ def run_leg(cpus: int, inp: str, routed: bool, noop: bool = False,
     ]
     if world_scale > 1:
         cmd += ["--world-scale", str(world_scale)]
+    # IMPORT_ARGS: extra import_job flags, whitespace-split (e.g.
+    # "--unit-res 2 --skip-qgis-style" — a world-scaled extent spans several
+    # res-4 unit cells, and each unit is a separate checkpointed join pass
+    # whose fixed cost lands identically on both legs)
+    extra = os.environ.get("IMPORT_ARGS", "")
+    if extra:
+        cmd += extra.split()
     if routed:
         cmd.append("--routed-export")
     if noop:
@@ -87,16 +94,34 @@ def main() -> None:
     # spreads the points over the tiles — the fixed-world sections become
     # data-proportional instead of a flat Amdahl term
     world_scale = int(os.environ.get("WORLD_SCALE", "1"))
+    # MODE=weak: fixed per-core work — the low leg reads LO_INPUT (a
+    # (lo/hi)-sized point fixture) at LO_WORLD_SCALE (= WORLD_SCALE·lo/hi,
+    # so the feature world shrinks with the points). The production 100 TB
+    # configuration: the fleet grows WITH the data; ideal is equal wall
+    # time, eff = T_lo / T_hi.
+    weak = os.environ.get("MODE", "strong") == "weak"
+    lo_inp = os.environ.get("LO_INPUT", inp) if weak else inp
+    lo_ws = (
+        int(os.environ.get("LO_WORLD_SCALE", max(1, world_scale * lo // hi)))
+        if weak
+        else world_scale
+    )
     load0 = round(os.getloadavg()[0], 1)
     hi_leg = run_leg(hi, inp, routed, noop, world_scale)
-    lo_leg = run_leg(lo, inp, routed, noop, world_scale)
+    lo_leg = run_leg(lo, lo_inp, routed, noop, lo_ws)
     # efficiency over the JOB's own wall (excludes JVM start, which a real
     # cluster pays once per executor fleet, not per measurement)
-    eff = (lo_leg["wall_seconds"] / hi_leg["wall_seconds"]) / (hi / lo)
+    if weak:
+        eff = lo_leg["wall_seconds"] / hi_leg["wall_seconds"]
+    else:
+        eff = (lo_leg["wall_seconds"] / hi_leg["wall_seconds"]) / (hi / lo)
     print(json.dumps({
         "metric": "full_import_scaling",
+        "mode": "weak" if weak else "strong",
         "n_points": hi_leg["n_points"],
+        "lo_n_points": lo_leg["n_points"],
         "world_scale": world_scale,
+        "lo_world_scale": lo_ws,
         "routed_export": routed,
         "sink": "noop" if noop else "parquet",
         "lo_cpus": lo, "hi_cpus": hi,
