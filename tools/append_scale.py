@@ -11,6 +11,15 @@ Env:
              (tools/cluster_scaling.py topology; EXECUTOR_CORES etc. as in
              tools/import_scaling.py)
   KEEP=1     keep the /tmp work dirs
+  DIFF_MODE  "id" (default): diff = the id-range tail — spatially uniform,
+             touches every unit cell (worst case: append ≈ full recompute).
+             "box": diff = the points inside a lon/lat box of BOX_FRAC
+             (default 0.3) of each extent dimension — the reference's
+             real replication shape (a region update), touching only the
+             box's unit cells; append should cost ~the touched share.
+  UNIT_RES   --unit-res for every leg (default 4 — the whole fixture world
+             is ONE res-4 cell, so pass 6-7 with DIFF_MODE=box to give the
+             invalidation something to skip)
 
 Flow: materialize full input (n_base + n_diff pre-parsed points) once →
 create on the base slice → append with the diff slice → create on the full
@@ -59,6 +68,9 @@ def main() -> None:
     n_base = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     n_diff = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
     cpus = int(os.environ.get("CPUS", "16"))
+    diff_mode = os.environ.get("DIFF_MODE", "id")
+    box_frac = float(os.environ.get("BOX_FRAC", "0.3"))
+    unit_res = int(os.environ.get("UNIT_RES", "4"))
     cut = f"img{n_base:012d}"
 
     work = "/tmp/append_scale"
@@ -83,16 +95,28 @@ def main() -> None:
     ).select("image_id", "lon", "lat")
     full.write.parquet(full_in)
     full = spark.read.parquet(full_in)
-    full.filter(F.col("image_id") < cut).write.parquet(base_in)
-    full.filter(F.col("image_id") >= cut).write.parquet(diff_in)
+    if diff_mode == "box":
+        # a spatially-local diff (the reference's region-update shape):
+        # everything inside the box arrives "later"
+        lon_hi = fixtures.LON_MIN + (fixtures.LON_MAX - fixtures.LON_MIN) * box_frac
+        lat_hi = fixtures.LAT_MIN + (fixtures.LAT_MAX - fixtures.LAT_MIN) * box_frac
+        in_box = (F.col("lon") < lon_hi) & (F.col("lat") < lat_hi)
+        full.filter(~in_box).write.parquet(base_in)
+        full.filter(in_box).write.parquet(diff_in)
+    else:
+        full.filter(F.col("image_id") < cut).write.parquet(base_in)
+        full.filter(F.col("image_id") >= cut).write.parquet(diff_in)
+    n_diff_actual = spark.read.parquet(diff_in).count()
 
+    common = ["--routed-export", "--skip-qgis-style",
+              "--unit-res", str(unit_res)]
     create = run_job(["--input", base_in, "--out", out_inc, "--force",
-                      "--routed-export", "--skip-qgis-style"], cpus)
+                      *common], cpus)
     append = run_job(["--input", full_in, "--diff", diff_in, "--out", out_inc,
-                      "--mode", "append", "--routed-export",
-                      "--skip-qgis-style", "--date", "2026-02-01"], cpus)
+                      "--mode", "append", "--date", "2026-02-01",
+                      *common], cpus)
     full_run = run_job(["--input", full_in, "--out", out_full, "--force",
-                        "--routed-export", "--skip-qgis-style"], cpus)
+                        *common], cpus)
 
     def pair_sig(out_dir: str):
         df = spark.read.parquet(os.path.join(out_dir, "image_place_pairs"))
@@ -111,6 +135,9 @@ def main() -> None:
         "metric": "append_at_volume",
         "n_base": n_base,
         "n_diff": n_diff,
+        "diff_mode": diff_mode,
+        "n_diff_actual": n_diff_actual,
+        "unit_res": unit_res,
         "cpus": cpus,
         "cluster": os.environ.get("CLUSTER") == "1",
         "create_wall_s": create["wall_seconds"],
