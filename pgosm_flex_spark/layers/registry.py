@@ -109,14 +109,17 @@ def _place_cols(df: DataFrame) -> dict[str, Column]:
 
 
 def build_place(osm: DataFrame) -> dict[str, DataFrame]:
-    f = osm.filter(_place_filter(osm))
+    # geometry test first throughout the builders: one column comparison
+    # short-circuits the tag logic for rows of the wrong geometry class
+    member = _place_filter(osm)
     return {
-        "place_point": _project(f.filter(_is_node(f)), _place_cols(f)),
-        "place_line": _project(f.filter(_is_way(f) & ~_closed(f)), _place_cols(f)),
+        "place_point": _project(osm.filter(_is_node(osm) & member), _place_cols(osm)),
+        "place_line": _project(osm.filter(_is_way(osm) & ~_closed(osm) & member), _place_cols(osm)),
         # closed ways AND all matching relations land in place_polygon
         # (place.lua:113-131, 133-175 — relations get member_ids)
         "place_polygon": _project(
-            f.filter((_is_way(f) & _closed(f)) | _is_rel(f)), _place_cols(f), with_members=True
+            osm.filter(((_is_way(osm) & _closed(osm)) | _is_rel(osm)) & member),
+            _place_cols(osm), with_members=True
         ),
     }
 
@@ -158,13 +161,13 @@ def _road_is_area(df: DataFrame) -> Column:
 
 def build_road(osm: DataFrame) -> dict[str, DataFrame]:
     t = F.col("tags")
-    f = osm.filter(T(t, "highway").isNotNull())
+    member = T(t, "highway").isNotNull()
     point_cols = {**_road_common(t), "oneway": sc.parse_oneway(T(t, "oneway"))}
     line_cols = {**_road_common(t), "oneway": sc.parse_oneway(T(t, "oneway")), **_road_routable(t)}
     poly_cols = {**_road_common(t), **_road_routable(t)}
-    wr = f.filter(_is_way(f) | _is_rel(f))
+    wr = osm.filter((_is_way(osm) | _is_rel(osm)) & member)
     return {
-        "road_point": _project(f.filter(_is_node(f)), point_cols),
+        "road_point": _project(osm.filter(_is_node(osm) & member), point_cols),
         "road_line": _project(wr.filter(~_road_is_area(wr)), line_cols, with_members=True),
         "road_polygon": _project(wr.filter(_road_is_area(wr)), poly_cols, with_members=True),
     }
@@ -202,8 +205,11 @@ def _poi_filter(df: DataFrame) -> Column:
     # second_level_tag_check_poi (poi_helpers.lua:104-121)
     natural_ok = T(t, "natural").isNull() | T(t, "natural").isin(_POI_NATURAL)
     landuse_ok = T(t, "landuse").isNull() | T(t, "landuse").isin(_POI_LANDUSE)
-    building_ok = T(t, "building").isNull() | (
-        (sc.get_name(t) != "") | T(t, "operator").isNotNull()
+    # operator (one map probe) before the get_name chain: OR is commutative
+    # (incl. three-valued) and evaluates left-to-right, so most building
+    # rows never reach the name-coalesce / last-ditch scan
+    building_ok = T(t, "building").isNull() | T(t, "operator").isNotNull() | (
+        sc.get_name(t) != ""
     )
     man_made_ok = T(t, "man_made").isNull() | T(t, "man_made").isin(_POI_MAN_MADE)
     return first & natural_ok & landuse_ok & building_ok & man_made_ok
@@ -245,13 +251,15 @@ def _poi_cols(df: DataFrame) -> dict[str, Column]:
 
 
 def build_poi(osm: DataFrame) -> dict[str, DataFrame]:
-    f = osm.filter(_poi_filter(osm))
-    cols = _poi_cols(f)
+    member = _poi_filter(osm)
+    cols = _poi_cols(osm)
     return {
-        "poi_point": _project(f.filter(_is_node(f)), cols),
-        "poi_line": _project(f.filter(_is_way(f) & ~_closed(f)), cols),
+        "poi_point": _project(osm.filter(_is_node(osm) & member), cols),
+        "poi_line": _project(osm.filter(_is_way(osm) & ~_closed(osm) & member), cols),
         "poi_polygon": _project(
-            f.filter((_is_way(f) & _closed(f)) | (_is_rel(f) & _rel_is_poly(f))),
+            osm.filter(
+                ((_is_way(osm) & _closed(osm)) | (_is_rel(osm) & _rel_is_poly(osm))) & member
+            ),
             cols,
             with_members=True,
         ),
@@ -270,12 +278,32 @@ _ADDR_EXCLUDE_KEYS = [
 ]
 
 
+_KEY_SEP = "\x01"
+
+
+def _has_key_prefix(t: Column, prefix: str) -> Column:
+    """True iff any tag key starts with ``prefix`` — the codegen-able
+    formulation: the key list is joined on a \\u0001 sentinel (with leading/
+    trailing sentinels) and probed with one substring search for
+    ``\\u0001<prefix>``. Exactly equivalent to the higher-order
+    ``exists(map_keys, startswith)`` for every corpus whose tag KEYS do not
+    contain the \\u0001 control byte (OSM keys are human-entered text; the
+    fixture + oracle corpora never produce control bytes). The HOF version is
+    CodegenFallback, and one fallback expression inside a Filter evicts the
+    entire stage from whole-stage codegen — measured as the building
+    branches of the 44-table union running interpreted (~0.8 s of the
+    bench's layer-mapping count)."""
+    blob = F.concat(
+        F.lit(_KEY_SEP), F.array_join(F.map_keys(t), _KEY_SEP), F.lit(_KEY_SEP)
+    )
+    return F.contains(blob, F.lit(_KEY_SEP + prefix))
+
+
 def _address_only(t: Column) -> Column:
     """address_only_building (building_helpers.lua:5-34): no excluded keys and
     at least one addr:* key."""
     no_excluded = ~sc.has_any_key(t, _ADDR_EXCLUDE_KEYS)
-    has_addr = F.exists(F.map_keys(t), lambda k: k.startswith("addr:"))
-    return no_excluded & has_addr
+    return no_excluded & _has_key_prefix(t, "addr:")
 
 
 def _building_filter(df: DataFrame) -> Column:
@@ -321,12 +349,14 @@ def _building_cols(df: DataFrame) -> dict[str, Column]:
 
 
 def build_building(osm: DataFrame) -> dict[str, DataFrame]:
-    f = osm.filter(_building_filter(osm))
-    cols = _building_cols(f)
+    member = _building_filter(osm)
+    cols = _building_cols(osm)
     return {
-        "building_point": _project(f.filter(_is_node(f)), cols),
+        "building_point": _project(osm.filter(_is_node(osm) & member), cols),
         "building_polygon": _project(
-            f.filter((_is_way(f) & _closed(f)) | (_is_rel(f) & _rel_is_poly(f))),
+            osm.filter(
+                ((_is_way(osm) & _closed(osm)) | (_is_rel(osm) & _rel_is_poly(osm))) & member
+            ),
             cols,
             with_members=True,
         ),
@@ -360,13 +390,15 @@ def _water_cols(df: DataFrame) -> dict[str, Column]:
 def build_water(osm: DataFrame) -> dict[str, DataFrame]:
     t = F.col("tags")
     # natural-in-set takes priority; else waterway key (water.lua:73-143)
-    f = osm.filter(T(t, "natural").isin(WATER_NATURAL_VALUES) | T(t, "waterway").isNotNull())
-    cols = _water_cols(f)
+    member = T(t, "natural").isin(WATER_NATURAL_VALUES) | T(t, "waterway").isNotNull()
+    cols = _water_cols(osm)
     return {
-        "water_point": _project(f.filter(_is_node(f)), cols),
-        "water_line": _project(f.filter(_is_way(f) & ~_closed(f)), cols),
+        "water_point": _project(osm.filter(_is_node(osm) & member), cols),
+        "water_line": _project(osm.filter(_is_way(osm) & ~_closed(osm) & member), cols),
         "water_polygon": _project(
-            f.filter((_is_way(f) & _closed(f)) | (_is_rel(f) & _rel_is_poly(f))),
+            osm.filter(
+                ((_is_way(osm) & _closed(osm)) | (_is_rel(osm) & _rel_is_poly(osm))) & member
+            ),
             cols,
             with_members=True,
         ),
@@ -405,18 +437,37 @@ def _amenity_cols(df: DataFrame) -> dict[str, Column]:
     }
 
 
+def _amenity_member(t: Column) -> Column:
+    """Row-set equivalent of ``has_any_key([amenity,bench,brewery]) &
+    _amenity_cols()['osm_type'].isNotNull()`` as a flat OR chain. Derivation:
+    the osm_type CASE yields 'bench' (amenity null & bench='yes'),
+    'brewery' (amenity null & brewery set), else the amenity value — so it
+    is non-NULL iff ``amenity IS NOT NULL OR bench='yes' OR brewery IS NOT
+    NULL``; each disjunct implies its key exists, making the has_any_key
+    conjunct redundant. The flat form generates a fraction of the CASE
+    chain's bytecode (the 44-branch union pays codegen size 44×; huge
+    generated methods are never JIT-compiled). Pinned equal to the builder
+    output by tests/test_router.py."""
+    return (
+        T(t, "amenity").isNotNull()
+        | (T(t, "bench") == "yes")
+        | T(t, "brewery").isNotNull()
+    )
+
+
 def build_amenity(osm: DataFrame) -> dict[str, DataFrame]:
     t = F.col("tags")
-    first = sc.has_any_key(t, ["amenity", "bench", "brewery"])
-    f = osm.filter(first)
-    cols = _amenity_cols(f)
-    # rows where get_osm_type returns nil (e.g. bench=no) are dropped
-    f = f.filter(cols["osm_type"].isNotNull())
+    member = _amenity_member(t)
+    cols = _amenity_cols(osm)
+    # geometry test first: one column comparison short-circuits the tag
+    # logic for rows of the wrong geometry class (most rows, on any mix)
     return {
-        "amenity_point": _project(f.filter(_is_node(f)), cols),
-        "amenity_line": _project(f.filter(_is_way(f) & ~_closed(f)), cols),
+        "amenity_point": _project(osm.filter(_is_node(osm) & member), cols),
+        "amenity_line": _project(osm.filter(_is_way(osm) & ~_closed(osm) & member), cols),
         "amenity_polygon": _project(
-            f.filter((_is_way(f) & _closed(f)) | (_is_rel(f) & _rel_is_poly(f))),
+            osm.filter(
+                ((_is_way(osm) & _closed(osm)) | (_is_rel(osm) & _rel_is_poly(osm))) & member
+            ),
             cols,
             with_members=True,
         ),
@@ -461,14 +512,24 @@ def _shop_cols(df: DataFrame) -> dict[str, Column]:
     }
 
 
+def _shop_member(t: Column) -> Column:
+    """Row-set equivalent of ``has_any_key([shop,amenity]) &
+    _shop_cols()['osm_type'].isNotNull()``: the CASE is non-NULL iff
+    ``shop IS NOT NULL OR amenity IN (shop-amenity list)``; both disjuncts
+    imply their key exists (same flat-OR rationale as
+    :func:`_amenity_member`)."""
+    return T(t, "shop").isNotNull() | T(t, "amenity").isin(_SHOP_AMENITY_VALUES)
+
+
 def build_shop(osm: DataFrame) -> dict[str, DataFrame]:
-    f = osm.filter(sc.has_any_key(F.col("tags"), ["shop", "amenity"]))
-    cols = _shop_cols(f)
-    f = f.filter(cols["osm_type"].isNotNull())
+    member = _shop_member(F.col("tags"))
+    cols = _shop_cols(osm)
     return {
-        "shop_point": _project(f.filter(_is_node(f)), cols),
+        "shop_point": _project(osm.filter(_is_node(osm) & member), cols),
         "shop_polygon": _project(
-            f.filter((_is_way(f) & _closed(f)) | (_is_rel(f) & _rel_is_poly(f))),
+            osm.filter(
+                ((_is_way(osm) & _closed(osm)) | (_is_rel(osm) & _rel_is_poly(osm))) & member
+            ),
             cols,
             with_members=True,
         ),
@@ -482,23 +543,24 @@ def build_shop(osm: DataFrame) -> dict[str, DataFrame]:
 def _single_key_layer(osm: DataFrame, key: str, prefix: str, extra: dict[str, Column] | None = None,
                       has_line: bool = False, exclude_vals: list[str] | None = None) -> dict[str, DataFrame]:
     t = F.col("tags")
-    cond = T(t, key).isNotNull()
+    member = T(t, key).isNotNull()
     if exclude_vals:
-        cond = cond & ~T(t, key).isin(exclude_vals)
-    f = osm.filter(cond)
+        member = member & ~T(t, key).isin(exclude_vals)
     cols = {"osm_type": T(t, key), "name": sc.get_name(t)}
     if extra:
         cols.update(extra)
     out = {
-        f"{prefix}_point": _project(f.filter(_is_node(f)), cols),
+        f"{prefix}_point": _project(osm.filter(_is_node(osm) & member), cols),
         f"{prefix}_polygon": _project(
-            f.filter((_is_way(f) & _closed(f)) | (_is_rel(f) & _rel_is_poly(f))),
+            osm.filter(
+                ((_is_way(osm) & _closed(osm)) | (_is_rel(osm) & _rel_is_poly(osm))) & member
+            ),
             cols,
             with_members=True,
         ),
     }
     if has_line:
-        out[f"{prefix}_line"] = _project(f.filter(_is_way(f) & ~_closed(f)), cols)
+        out[f"{prefix}_line"] = _project(osm.filter(_is_way(osm) & ~_closed(osm) & member), cols)
     return out
 
 
@@ -547,13 +609,15 @@ def _indoor_cols(df: DataFrame) -> dict[str, Column]:
 
 def build_indoor(osm: DataFrame) -> dict[str, DataFrame]:
     t = F.col("tags")
-    f = osm.filter(sc.has_any_key(t, ["indoor", "door", "entrance"]))
-    cols = _indoor_cols(f)
+    member = sc.has_any_key(t, ["indoor", "door", "entrance"])
+    cols = _indoor_cols(osm)
     return {
-        "indoor_point": _project(f.filter(_is_node(f)), cols),
-        "indoor_line": _project(f.filter(_is_way(f) & ~_closed(f)), cols),
+        "indoor_point": _project(osm.filter(_is_node(osm) & member), cols),
+        "indoor_line": _project(osm.filter(_is_way(osm) & ~_closed(osm) & member), cols),
         "indoor_polygon": _project(
-            f.filter((_is_way(f) & _closed(f)) | (_is_rel(f) & _rel_is_poly(f))),
+            osm.filter(
+                ((_is_way(osm) & _closed(osm)) | (_is_rel(osm) & _rel_is_poly(osm))) & member
+            ),
             cols,
             with_members=True,
         ),
@@ -611,15 +675,51 @@ def _infrastructure_cols(df: DataFrame) -> tuple[dict[str, Column], Column]:
     return cols, keep
 
 
+def _infrastructure_member(t: Column) -> Column:
+    """Row-set equivalent of ``has_any_key(INFRASTRUCTURE_KEYS) &
+    (osm_type != 'unknown')`` as a flat OR chain — the double CASE
+    (osm_type + demote) generated ~7.7 KB of bytecode per branch, right at
+    HotSpot's 8 KB never-JIT threshold. Derivation from the CASE's
+    first-match semantics plus the ``emergency=no`` demotion:
+
+    - the two hydrant/phone branches keep regardless of demotion (their
+      subtype literals are never 'no');
+    - otherwise a row with an ``emergency`` tag matches the bare-emergency
+      branch FIRST, so it keeps iff ``emergency != 'no'`` (a demoted row is
+      dropped even if power/aeroway/... tags exist — first match wins);
+    - otherwise (no emergency tag) the remaining branches keep iff any of
+      highway=emergency_access_point, man_made in tower+tank, power,
+      utility, aeroway holds.
+
+    Each disjunct implies its key exists → has_any_key is redundant."""
+    emergency = T(t, "emergency")
+    hydrant_phone = T(t, "amenity").isin("fire_hydrant", "emergency_phone") | emergency.isin(
+        "fire_hydrant", "phone"
+    )
+    rest = (
+        (T(t, "highway") == "emergency_access_point")
+        | T(t, "man_made").isin(_INFRA_TOWER + _INFRA_TANK)
+        | T(t, "power").isNotNull()
+        | T(t, "utility").isNotNull()
+        | T(t, "aeroway").isNotNull()
+    )
+    return (
+        hydrant_phone
+        | (emergency.isNotNull() & (emergency != "no"))
+        | (emergency.isNull() & rest)
+    )
+
+
 def build_infrastructure(osm: DataFrame) -> dict[str, DataFrame]:
-    f = osm.filter(sc.has_any_key(F.col("tags"), INFRASTRUCTURE_KEYS))
-    cols, keep = _infrastructure_cols(f)
-    f = f.filter(keep)
+    cols, _keep = _infrastructure_cols(osm)
+    member = _infrastructure_member(F.col("tags"))
     return {
-        "infrastructure_point": _project(f.filter(_is_node(f)), cols),
-        "infrastructure_line": _project(f.filter(_is_way(f) & ~_closed(f)), cols),
+        "infrastructure_point": _project(osm.filter(_is_node(osm) & member), cols),
+        "infrastructure_line": _project(osm.filter(_is_way(osm) & ~_closed(osm) & member), cols),
         "infrastructure_polygon": _project(
-            f.filter((_is_way(f) & _closed(f)) | (_is_rel(f) & _rel_is_poly(f))),
+            osm.filter(
+                ((_is_way(osm) & _closed(osm)) | (_is_rel(osm) & _rel_is_poly(osm))) & member
+            ),
             cols,
             with_members=True,
         ),
@@ -656,13 +756,15 @@ def _public_transport_cols(df: DataFrame) -> dict[str, Column]:
 
 def build_public_transport(osm: DataFrame) -> dict[str, DataFrame]:
     t = F.col("tags")
-    f = osm.filter(sc.has_any_key(t, ["public_transport", "aerialway", "railway"]))
-    cols = _public_transport_cols(f)
+    member = sc.has_any_key(t, ["public_transport", "aerialway", "railway"])
+    cols = _public_transport_cols(osm)
     return {
-        "public_transport_point": _project(f.filter(_is_node(f)), cols),
-        "public_transport_line": _project(f.filter(_is_way(f) & ~_closed(f)), cols),
+        "public_transport_point": _project(osm.filter(_is_node(osm) & member), cols),
+        "public_transport_line": _project(osm.filter(_is_way(osm) & ~_closed(osm) & member), cols),
         "public_transport_polygon": _project(
-            f.filter((_is_way(f) & _closed(f)) | (_is_rel(f) & _rel_is_poly(f))),
+            osm.filter(
+                ((_is_way(osm) & _closed(osm)) | (_is_rel(osm) & _rel_is_poly(osm))) & member
+            ),
             cols,
             with_members=True,
         ),
@@ -705,20 +807,42 @@ def _traffic_cols(df: DataFrame) -> tuple[dict[str, Column], Column]:
     return {"osm_type": osm_type, "osm_subtype": osm_subtype}, osm_type
 
 
+def _traffic_member(t: Column, with_noexit: bool = True) -> Column:
+    """Row-set equivalent of ``has_any_key(first-level) &
+    _traffic_cols()[1].isNotNull()`` as a flat OR chain: the CASE is
+    non-NULL iff one of its six conditions holds, and each condition
+    implies its key exists. ``with_noexit=False`` additionally encodes the
+    polygon rule ``osm_type != 'noexit'``: the CASE takes the FIRST
+    matching branch, and only the noexit branch (matched when none of the
+    other five hold) yields the literal 'noexit' — every earlier branch
+    yields a highway value from the traffic list, 'crossing', 'barrier',
+    'traffic_calming' or 'amenity' — so membership-with-non-noexit-type is
+    exactly the five-way OR."""
+    member = (
+        T(t, "highway").isin(_TRAFFIC_HIGHWAY)
+        | (T(t, "railway") == "level_crossing")
+        | T(t, "barrier").isNotNull()
+        | T(t, "traffic_calming").isNotNull()
+        | T(t, "amenity").isin(_TRAFFIC_AMENITY)
+    )
+    if with_noexit:
+        member = member | T(t, "noexit").isNotNull()
+    return member
+
+
 def build_traffic(osm: DataFrame) -> dict[str, DataFrame]:
     t = F.col("tags")
-    f = osm.filter(sc.has_any_key(t, _TRAFFIC_FIRST_LEVEL_KEYS))
-    cols, osm_type = _traffic_cols(f)
-    f = f.filter(osm_type.isNotNull())
+    cols, _osm_type = _traffic_cols(osm)
+    member = _traffic_member(t)
     # nodes and ways only — traffic.lua defines no relation handler
     # (traffic.lua:266-292 registers process_node/process_way exclusively);
     # closed noexit ways are skipped ("noexit does not make sense for
     # polygons", traffic.lua:242-256)
     return {
-        "traffic_point": _project(f.filter(_is_node(f)), cols),
-        "traffic_line": _project(f.filter(_is_way(f) & ~_closed(f)), cols),
+        "traffic_point": _project(osm.filter(_is_node(osm) & member), cols),
+        "traffic_line": _project(osm.filter(_is_way(osm) & ~_closed(osm) & member), cols),
         "traffic_polygon": _project(
-            f.filter(_is_way(f) & _closed(f) & (osm_type != "noexit")),
+            osm.filter(_is_way(osm) & _closed(osm) & _traffic_member(t, with_noexit=False)),
             cols,
             with_members=True,
         ),
@@ -956,74 +1080,77 @@ def layer_table_predicates(
 
     p: dict[str, Column] = {}
 
+    # geometry conjunct FIRST in every predicate: one column comparison
+    # short-circuits the tag logic for rows of the wrong geometry class
+    # (And evaluates left-to-right in both codegen and interpreted paths).
+    # amenity/shop/traffic/infrastructure use the flat member helpers —
+    # row-set equal to the builders' CASE.isNotNull() filters (derivations
+    # on each helper; equality pinned by tests/test_router.py).
     place = _place_filter(None)
-    p["place_point"] = place & node
-    p["place_line"] = place & way_open
-    p["place_polygon"] = place & (way_closed | rel)
+    p["place_point"] = node & place
+    p["place_line"] = way_open & place
+    p["place_polygon"] = (way_closed | rel) & place
 
     road = T(t, "highway").isNotNull()
-    road_wr = road & (way | rel)
+    road_wr = (way | rel) & road
     area = _road_is_area(None)
-    p["road_point"] = road & node
+    p["road_point"] = node & road
     p["road_line"] = road_wr & ~area
     p["road_polygon"] = road_wr & area
     p["road_major"] = p["road_line"] & sc.major_road(T(t, "highway"))
 
     poi = _poi_filter(None)
-    p["poi_point"] = poi & node
-    p["poi_line"] = poi & way_open
-    p["poi_polygon"] = poi & poly_std
+    p["poi_point"] = node & poi
+    p["poi_line"] = way_open & poi
+    p["poi_polygon"] = poly_std & poi
 
     building = _building_filter(None)
-    p["building_point"] = building & node
-    p["building_polygon"] = building & poly_std
+    p["building_point"] = node & building
+    p["building_polygon"] = poly_std & building
 
     water = T(t, "natural").isin(WATER_NATURAL_VALUES) | T(t, "waterway").isNotNull()
-    p["water_point"] = water & node
-    p["water_line"] = water & way_open
-    p["water_polygon"] = water & poly_std
+    p["water_point"] = node & water
+    p["water_line"] = way_open & water
+    p["water_polygon"] = poly_std & water
 
-    amenity = sc.has_any_key(t, ["amenity", "bench", "brewery"]) & _amenity_cols(None)[
-        "osm_type"
-    ].isNotNull()
-    p["amenity_point"] = amenity & node
-    p["amenity_line"] = amenity & way_open
-    p["amenity_polygon"] = amenity & poly_std
+    amenity = _amenity_member(t)
+    p["amenity_point"] = node & amenity
+    p["amenity_line"] = way_open & amenity
+    p["amenity_polygon"] = poly_std & amenity
 
-    shop = sc.has_any_key(t, ["shop", "amenity"]) & _shop_cols(None)["osm_type"].isNotNull()
-    p["shop_point"] = shop & node
-    p["shop_polygon"] = shop & poly_std
+    shop = _shop_member(t)
+    p["shop_point"] = node & shop
+    p["shop_polygon"] = poly_std & shop
 
     for key, prefix in (("landuse", "landuse"), ("leisure", "leisure")):
         single = T(t, key).isNotNull()
-        p[f"{prefix}_point"] = single & node
-        p[f"{prefix}_polygon"] = single & poly_std
+        p[f"{prefix}_point"] = node & single
+        p[f"{prefix}_polygon"] = poly_std & single
 
     natural = T(t, "natural").isNotNull() & ~T(t, "natural").isin(WATER_NATURAL_VALUES)
-    p["natural_point"] = natural & node
-    p["natural_line"] = natural & way_open
-    p["natural_polygon"] = natural & poly_std
+    p["natural_point"] = node & natural
+    p["natural_line"] = way_open & natural
+    p["natural_polygon"] = poly_std & natural
 
     indoor = sc.has_any_key(t, ["indoor", "door", "entrance"])
-    p["indoor_point"] = indoor & node
-    p["indoor_line"] = indoor & way_open
-    p["indoor_polygon"] = indoor & poly_std
+    p["indoor_point"] = node & indoor
+    p["indoor_line"] = way_open & indoor
+    p["indoor_polygon"] = poly_std & indoor
 
-    infra = sc.has_any_key(t, INFRASTRUCTURE_KEYS) & _infrastructure_cols(None)[1]
-    p["infrastructure_point"] = infra & node
-    p["infrastructure_line"] = infra & way_open
-    p["infrastructure_polygon"] = infra & poly_std
+    infra = _infrastructure_member(t)
+    p["infrastructure_point"] = node & infra
+    p["infrastructure_line"] = way_open & infra
+    p["infrastructure_polygon"] = poly_std & infra
 
     pt = sc.has_any_key(t, ["public_transport", "aerialway", "railway"])
-    p["public_transport_point"] = pt & node
-    p["public_transport_line"] = pt & way_open
-    p["public_transport_polygon"] = pt & poly_std
+    p["public_transport_point"] = node & pt
+    p["public_transport_line"] = way_open & pt
+    p["public_transport_polygon"] = poly_std & pt
 
-    traffic_type = _traffic_cols(None)[1]
-    traffic = sc.has_any_key(t, _TRAFFIC_FIRST_LEVEL_KEYS) & traffic_type.isNotNull()
-    p["traffic_point"] = traffic & node
-    p["traffic_line"] = traffic & way_open
-    p["traffic_polygon"] = traffic & way_closed & (traffic_type != "noexit")
+    traffic = _traffic_member(t)
+    p["traffic_point"] = node & traffic
+    p["traffic_line"] = way_open & traffic
+    p["traffic_polygon"] = way_closed & _traffic_member(t, with_noexit=False)
 
     has_tags = tagf.has_tags_after_clean(t)
     p["tags"] = has_tags

@@ -116,6 +116,15 @@ def get_spark(
             "spark.locality.wait",
             os.environ.get("SPARK_GRAFT_LOCALITY_WAIT", "0s"),
         )
+        # HotSpot never JIT-compiles methods over ~8000 bytecode
+        # (-XX:DontCompileHugeMethods default), so a whole-stage-codegen
+        # unit whose generated method crosses that line runs INTERPRETED
+        # forever — measured on the 44-table layer dispatch, where the
+        # widest tag predicates fused into ~7-8 KB methods. Aligning
+        # Spark's limit with the JVM's makes such stages fall back to
+        # un-fused operators whose smaller per-expression methods all JIT
+        # (the tuning the Spark docs recommend for huge generated code).
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
