@@ -55,22 +55,90 @@ def cosine_topk(
 
     Cosine values are computed in float64 but not emitted: cross-engine
     float reproducibility of sums is not guaranteed, ranks are.
-    """
+
+    Execution: the query side is collected to the driver (the same
+    "queries fit in one broadcast" contract the previous crossJoin(
+    broadcast(q)) plan made) and the corpus streams through ONE
+    ``mapInPandas`` stage that computes the whole scoring block as a numpy
+    matmul and emits only its per-batch top-k per query — the earlier
+    ``zip_with``/``aggregate`` dot product is a Catalyst higher-order
+    expression that evaluates interpreted at ~µs/element (64 dims ×
+    |corpus|×|queries| lambda steps dominated the bench's ann query), and
+    it shipped every scored pair into the window. The per-batch cut uses
+    the same (cos desc, id asc) total order as the final global window, so
+    top-k of unioned per-batch top-ks is exactly the global top-k; rank
+    ties at equal cosine stay id-deterministic. Corpus rows with a NULL
+    embedding are skipped (the old plan gave them NULL cosine, which
+    ``row_number`` sorts after every real neighbor — at k ≤ |corpus| they
+    could only surface on degenerate all-NULL corpora)."""
+    qp = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qvec"),
+        )
+        .toPandas()
+    )
+    # id columns keep their source types (generic operator contract)
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    nid_type = corpus.schema[id_col].dataType.simpleString()
+    qids = qp["query_id"].to_numpy()
+    if len(qp) == 0:
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id {qid_type}, neighbor_id {nid_type}, rank int"
+        )
+    Q = np.stack(qp["qvec"].to_numpy()).astype(np.float64)
+    qnorm = np.sqrt((Q * Q).sum(axis=1) + EPS)
+    Qn = Q / qnorm[:, None]
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
-    ).withColumn("cnorm", norm_col(F.col("cvec")))
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qvec"),
-    ).withColumn("qnorm", norm_col(F.col("qvec")))
-    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
-    pairs = pairs.withColumn(
-        "cos", dot_col(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm"))
+    )
+
+    def score(batches):
+        for b in batches:
+            vec = b["cvec"]
+            keep = np.fromiter(
+                (v is not None and len(v) for v in vec), dtype=bool, count=len(vec)
+            )
+            if not keep.any():
+                continue
+            nid = b["neighbor_id"].to_numpy()[keep]
+            C = np.stack(vec[keep].to_numpy()).astype(np.float64)
+            cn = np.sqrt((C * C).sum(axis=1) + EPS)
+            S = (C / cn[:, None]) @ Qn.T  # (n, m) cosine block
+            S[nid[:, None] == qids[None, :]] = -np.inf  # self-matches
+            n = S.shape[0]
+            kk = min(k, n)
+            # exact per-batch top-k in (cos desc, id asc) order per query
+            out_q, out_n, out_c = [], [], []
+            order_ids = np.argsort(nid, kind="stable")
+            S_sorted = S[order_ids]
+            nid_sorted = nid[order_ids]
+            # argsort on -cos with stable kind keeps id-ascending order
+            # among equal cosines (rows pre-sorted by id)
+            top = np.argsort(-S_sorted, axis=0, kind="stable")[:kk]  # (kk, m)
+            for j in range(S.shape[1]):
+                sel = top[:, j]
+                cos_j = S_sorted[sel, j]
+                fin = cos_j > -np.inf
+                out_q.append(np.full(fin.sum(), qids[j]))
+                out_n.append(nid_sorted[sel[fin]])
+                out_c.append(cos_j[fin])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cos": np.concatenate(out_c),
+                }
+            )
+
+    scored = c.mapInPandas(
+        score, schema=f"query_id {qid_type}, neighbor_id {nid_type}, cos double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
