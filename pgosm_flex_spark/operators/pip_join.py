@@ -41,7 +41,20 @@ from pgosm_flex_spark.index import cells
 
 DEFAULT_FINE_RES = 17
 DEFAULT_COARSE_RES = 7
-DEFAULT_MAX_CELLS = 1024
+# Per-polygon cell budget: finer covers convert boundary area into interior
+# shortcut cells, and boundary POINT candidates (the rows that must pay the
+# exact-PIP refine) shrink by half per extra level, so the budget buys
+# refine time directly. Measured on the 600k-point bench corpus: 1024 →
+# 16384 moved the whole admin set from res 15-17 to uniform res 17, cut the
+# join from 1.21 s to 0.86 s (boundary candidates 1.10M → fewer, one probe
+# level instead of three) and made the cover BUILD faster too (0.70 s vs
+# 1.03 s — no multi-level adaptive search). Cover rows grew only 30k → 44k:
+# interior cells are 17 bytes/row and bounded by area while the wkb payload
+# rides only on boundary rows, and past broadcast budgets the
+# should_broadcast_cover auto-select flips to the cell-partitioned shuffle
+# join anyway, where cover rows are data-proportional state, not a
+# broadcast copy per executor.
+DEFAULT_MAX_CELLS = 16384
 
 
 def _pick_res(bbox: tuple[float, float, float, float], fine: int, coarse: int, max_cells: int) -> int:
