@@ -448,7 +448,11 @@ def _amenity_member(t: Column) -> Column:
     chain's bytecode (the 44-branch union pays codegen size 44×; huge
     generated methods are never JIT-compiled). Pinned equal to the builder
     output by tests/test_router.py."""
-    return (
+    # the has_any_key gate is logically redundant (each disjunct implies
+    # its key exists) but is the per-row fast path: one arrays_overlap pass
+    # over the key list short-circuits the per-key element_at probes for
+    # the vast majority of rows, which carry none of these keys
+    return sc.has_any_key(t, ["amenity", "bench", "brewery"]) & (
         T(t, "amenity").isNotNull()
         | (T(t, "bench") == "yes")
         | T(t, "brewery").isNotNull()
@@ -518,7 +522,9 @@ def _shop_member(t: Column) -> Column:
     ``shop IS NOT NULL OR amenity IN (shop-amenity list)``; both disjuncts
     imply their key exists (same flat-OR rationale as
     :func:`_amenity_member`)."""
-    return T(t, "shop").isNotNull() | T(t, "amenity").isin(_SHOP_AMENITY_VALUES)
+    return sc.has_any_key(t, ["shop", "amenity"]) & (
+        T(t, "shop").isNotNull() | T(t, "amenity").isin(_SHOP_AMENITY_VALUES)
+    )
 
 
 def build_shop(osm: DataFrame) -> dict[str, DataFrame]:
@@ -703,7 +709,8 @@ def _infrastructure_member(t: Column) -> Column:
         | T(t, "utility").isNotNull()
         | T(t, "aeroway").isNotNull()
     )
-    return (
+    # redundant-but-fast gate: see _amenity_member
+    return sc.has_any_key(t, INFRASTRUCTURE_KEYS) & (
         hydrant_phone
         | (emergency.isNotNull() & (emergency != "no"))
         | (emergency.isNull() & rest)
@@ -827,7 +834,8 @@ def _traffic_member(t: Column, with_noexit: bool = True) -> Column:
     )
     if with_noexit:
         member = member | T(t, "noexit").isNotNull()
-    return member
+    # redundant-but-fast gate: see _amenity_member
+    return sc.has_any_key(t, _TRAFFIC_FIRST_LEVEL_KEYS) & member
 
 
 def build_traffic(osm: DataFrame) -> dict[str, DataFrame]:

@@ -116,15 +116,16 @@ def get_spark(
             "spark.locality.wait",
             os.environ.get("SPARK_GRAFT_LOCALITY_WAIT", "0s"),
         )
-        # HotSpot never JIT-compiles methods over ~8000 bytecode
-        # (-XX:DontCompileHugeMethods default), so a whole-stage-codegen
-        # unit whose generated method crosses that line runs INTERPRETED
-        # forever — measured on the 44-table layer dispatch, where the
-        # widest tag predicates fused into ~7-8 KB methods. Aligning
-        # Spark's limit with the JVM's makes such stages fall back to
-        # un-fused operators whose smaller per-expression methods all JIT
-        # (the tuning the Spark docs recommend for huge generated code).
-        .config("spark.sql.codegen.hugeMethodLimit", "8000")
+        # spark.sql.codegen.hugeMethodLimit stays at its default (65535):
+        # aligning it with HotSpot's 8000-byte never-JIT threshold was
+        # measured BOTH ways on this workload — it recovered ~20% on the
+        # 44-table layer dispatch while its widest predicates fused into
+        # 7-8 KB methods, but it also demoted the kNN candidate stage from
+        # whole-stage codegen (min 4.1 s → 7.2 s, same window). The real
+        # fix was shrinking the generated predicates themselves
+        # (layers/registry.py flat member helpers: max branch method is
+        # now ~2.5 KB), after which the lower limit had no remaining
+        # upside. Keep generated methods small instead of tuning this.
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
