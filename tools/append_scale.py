@@ -103,6 +103,19 @@ def main() -> None:
         in_box = (F.col("lon") < lon_hi) & (F.col("lat") < lat_hi)
         full.filter(~in_box).write.parquet(base_in)
         full.filter(in_box).write.parquet(diff_in)
+        # a NULL lon/lat row fails BOTH filters under three-valued logic;
+        # the fixture never emits one, but assert the split is lossless so
+        # a non-fixture input cannot silently lose points (ADVICE r5)
+        n_full = full.count()
+        n_split = (
+            spark.read.parquet(base_in).count()
+            + spark.read.parquet(diff_in).count()
+        )
+        if n_split != n_full:
+            raise SystemExit(
+                f"box split lost rows ({n_full} -> {n_split}): "
+                "input has NULL lon/lat points"
+            )
     else:
         full.filter(F.col("image_id") < cut).write.parquet(base_in)
         full.filter(F.col("image_id") >= cut).write.parquet(diff_in)

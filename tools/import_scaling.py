@@ -51,7 +51,11 @@ def run_leg(cpus: int, inp: str, routed: bool, noop: bool = False,
     # whose fixed cost lands identically on both legs)
     extra = os.environ.get("IMPORT_ARGS", "")
     if extra:
-        cmd += extra.split()
+        import shlex
+
+        # shell-like tokenization: a quoted flag value with spaces must
+        # reach import_job as one argv entry (ADVICE r5)
+        cmd += shlex.split(extra)
     if routed:
         cmd.append("--routed-export")
     if noop:
@@ -100,6 +104,11 @@ def main() -> None:
     # configuration: the fleet grows WITH the data; ideal is equal wall
     # time, eff = T_lo / T_hi.
     weak = os.environ.get("MODE", "strong") == "weak"
+    if weak and not os.environ.get("LO_INPUT"):
+        # a weak pair needs a (lo/hi)-sized fixture for the low leg;
+        # silently reusing the full-size input would print a strong-scaling
+        # ratio mislabeled as weak (ADVICE r5)
+        raise SystemExit("MODE=weak requires LO_INPUT (a lo/hi-sized point fixture)")
     lo_inp = os.environ.get("LO_INPUT", inp) if weak else inp
     lo_ws = (
         int(os.environ.get("LO_WORLD_SCALE", max(1, world_scale * lo // hi)))
