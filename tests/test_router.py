@@ -145,3 +145,32 @@ def test_routed_bundle_roundtrip(spark, osm, tmp_path):
         assert [f.name for f in got.schema.fields] == [f.name for f in want.schema.fields]
         assert got.exceptAll(want).count() == 0
         assert want.exceptAll(got).count() == 0
+
+
+def test_has_key_prefix_matches_hof(spark):
+    """_has_key_prefix (sentinel-joined key blob, codegen) must agree with
+    the higher-order exists(startswith) formulation on edge-shaped keys."""
+    from pyspark.sql import functions as F
+
+    from pgosm_flex_spark.layers.registry import _has_key_prefix
+
+    rows = [
+        ({"addr:housenumber": "1"}, True),
+        ({"addr:": ""}, True),               # bare prefix key
+        ({"xaddr:street": "1"}, False),      # prefix not at key start
+        ({"street": "addr:1"}, False),       # prefix inside a VALUE only
+        ({"a": "1", "addr:unit": "2"}, True),
+        ({}, False),
+        ({"ADDR:x": "1"}, False),            # case-sensitive like startswith
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(rows)], "i int, tags map<string,string>"
+    )
+    hof = F.exists(F.map_keys(F.col("tags")), lambda k: k.startswith("addr:"))
+    got = (
+        df.select("i", _has_key_prefix(F.col("tags"), "addr:").alias("blob"), hof.alias("hof"))
+        .orderBy("i")
+        .collect()
+    )
+    for r, (_, want) in zip(got, rows):
+        assert bool(r["blob"]) == bool(r["hof"]) == want, r

@@ -539,3 +539,30 @@ def test_frame_audio_energy_skips_corrupt_rows(spark):
 def test_encode_video_empty_frames_raises():
     with pytest.raises(ValueError, match="at least one frame"):
         codec.encode_video([], fps=6)
+
+
+def test_cosine_topk_partial_topk_across_partitions(spark):
+    """The per-batch partial top-k must compose to the exact global top-k:
+    spread the corpus over many partitions (each mapInPandas batch sees a
+    slice) and compare against the single-partition result and numpy."""
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((200, 8)).astype(np.float32)
+    # planted exact ties: duplicate vectors -> equal cosine, id-ascending rank
+    vecs[50] = vecs[10]
+    vecs[51] = vecs[10]
+    pdf = pd.DataFrame({"vec_id": range(200), "embedding": list(vecs)})
+    many = spark.createDataFrame(pdf).repartition(16)
+    one = spark.createDataFrame(pdf).coalesce(1)
+    queries = spark.createDataFrame(pdf[pdf.vec_id < 8])
+    got_many = sorted(map(tuple, ann.cosine_topk(many, queries, k=4).collect()))
+    got_one = sorted(map(tuple, ann.cosine_topk(one, queries, k=4).collect()))
+    assert got_many == got_one
+    normed = vecs.astype(np.float64)
+    normed = normed / (np.sqrt((normed * normed).sum(axis=1, keepdims=True) + 1e-12))
+    sims = normed @ normed.T
+    for q in range(8):
+        s = sims[q].copy()
+        s[q] = -np.inf
+        exp = np.argsort(-s, kind="stable")[:4].tolist()
+        g = [n for (qq, n, r) in sorted(got_many, key=lambda t: (t[0], t[2])) if qq == q]
+        assert g == exp, q
