@@ -293,26 +293,90 @@ def ivf_cosine_topk(
         order = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int64)
         return pd.Series(list(order))
 
+    # re-rank executes like cosine_topk: queries (+ their probe lists) are
+    # collected to the driver — the SAME size contract the previous
+    # broadcast(q) made — and the corpus streams through one mapInPandas
+    # stage that scores each batch as numpy matmuls per probed list and
+    # emits only its per-batch top-k per query in the exact
+    # (cos desc, id asc) total order, so the final window ranks a stream
+    # bounded by batches×k×|Q| instead of every (corpus-in-list, query)
+    # pair through the interpreted zip_with/aggregate dot (which made a
+    # 10M-vector probe computationally unreachable).
+    qid_type = queries.schema[id_col].dataType.simpleString()
+    nid_type = corpus.schema[id_col].dataType.simpleString()
+    qp = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    ).toPandas()
+    if len(qp) == 0:
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id {qid_type}, neighbor_id {nid_type}, rank int"
+        )
+    qids = qp["query_id"].to_numpy()
+    Q = np.stack(qp["qvec"].to_numpy()).astype(np.float64)
+    # probe normalization matches probe_udf (linalg.norm + EPS); the
+    # re-rank normalization below matches norm_col (sqrt(sumsq + EPS)) —
+    # two distinct formulas in the original, reproduced exactly
+    Qp = Q / (np.linalg.norm(Q, axis=1, keepdims=True) + EPS)
+    qsims = Qp @ C.T
+    qprobe = np.argsort(-qsims, axis=1)[:, :nprobe].astype(np.int64)
+    Qn = Q / np.sqrt((Q * Q).sum(axis=1, keepdims=True) + EPS)
+    # per probed list: the queries probing it (mirrors the explode+equi-join)
+    by_list: dict[int, np.ndarray] = {}
+    for li in np.unique(qprobe):
+        by_list[int(li)] = np.flatnonzero((qprobe == li).any(axis=1))
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
     ).withColumn("__list", assign_udf(F.col("cvec")))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qvec"),
-    ).withColumn("__list", F.explode(probe_udf(F.col("qvec"))))
-    cands = (
-        c.join(F.broadcast(q), "__list")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-    )
-    cands = cands.withColumn(
-        "cos",
-        dot_col(F.col("cvec"), F.col("qvec"))
-        / (norm_col(F.col("cvec")) * norm_col(F.col("qvec"))),
+
+    def score(batches):
+        for b in batches:
+            vec = b["cvec"]
+            keep = np.fromiter(
+                (v is not None and len(v) for v in vec), dtype=bool, count=len(vec)
+            )
+            if not keep.any():
+                continue
+            nid = b["neighbor_id"].to_numpy()[keep]
+            lists = b["__list"].to_numpy()[keep]
+            Cm = np.stack(vec[keep].to_numpy()).astype(np.float64)
+            cn = np.sqrt((Cm * Cm).sum(axis=1) + EPS)  # norm_col formula
+            Cn = Cm / cn[:, None]
+            order_ids = np.argsort(nid, kind="stable")
+            out_q, out_n, out_c = [], [], []
+            for li, qi in by_list.items():
+                rows = order_ids[lists[order_ids] == li]
+                if len(rows) == 0:
+                    continue
+                S = Cn[rows] @ Qn[qi].T  # (r, q) — rows pre-sorted by id
+                S[nid[rows][:, None] == qids[qi][None, :]] = -np.inf
+                kk = min(k, S.shape[0])
+                top = np.argsort(-S, axis=0, kind="stable")[:kk]
+                for j in range(S.shape[1]):
+                    sel = top[:, j]
+                    cos_j = S[sel, j]
+                    fin = cos_j > -np.inf
+                    out_q.append(np.full(int(fin.sum()), qids[qi[j]]))
+                    out_n.append(nid[rows][sel[fin]])
+                    out_c.append(cos_j[fin])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cos": np.concatenate(out_c),
+                }
+            )
+
+    scored = c.mapInPandas(
+        score, schema=f"query_id {qid_type}, neighbor_id {nid_type}, cos double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
-        cands.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
