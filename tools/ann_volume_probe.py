@@ -71,8 +71,17 @@ def main() -> None:
     hits = sum(1 for r in ivf if r["rank"] == 1 and r["neighbor_id"] == r["query_id"] - n)
     out["ivf_recall_top1"] = round(hits / n_twins, 4)
 
+    # volume configuration: 16 planes x 8 tables keeps expected bucket load
+    # at n/2^16 (~150 rows at 10M) where the 4-plane default - tuned for the
+    # 500-2000-row oracle corpora - would put ~n/16 rows in every bucket and
+    # the candidate join would explode. Twin recall is unaffected by plane
+    # count (identical vectors collide in every table); what more planes
+    # trade away is recall of NEAR neighbors, which this probe does not
+    # measure.
     t0 = time.time()
-    lsh = ann.lsh_cosine_topk(corpus, queries, k=1, dim=dim).collect()
+    lsh = ann.lsh_cosine_topk(
+        corpus, queries, k=1, dim=dim, planes_per_table=16, tables=8
+    ).collect()
     out["lsh_wall_s"] = round(time.time() - t0, 1)
     hits = sum(1 for r in lsh if r["rank"] == 1 and r["neighbor_id"] == r["query_id"] - n)
     out["lsh_recall_top1"] = round(hits / n_twins, 4)
